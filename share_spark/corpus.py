@@ -1,0 +1,127 @@
+"""Deterministic synthetic web-page corpus (FIXTURES.md §1, §4).
+
+Generates the `input_hint` table shape
+  (url string, warc_ts timestamp, html binary, text string, lang string)
+plus doc_id, seeded — no external data. Mirrors the reference test corpus's
+*shape* (tests/share/search/index_strategy/_common_trovesearch_tests.py:237-322):
+
+- Zipf token stream over a 10k-word vocabulary
+- a few very hot head terms in >30% of docs (head-term salting exercise)
+- planted phrase classes A/B/C for text-semantics parity
+  (_common_trovesearch_tests.py:455-474)
+- every 13th row re-emits an earlier url with trailing-slash + http scheme
+  variants (suffuniq exercise, trove/util/iris.py:31-113)
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta, timezone
+
+import numpy as np
+import pandas as pd
+
+PHRASE_A = (
+    "This place is not a place of honor... no highly esteemed deed is "
+    "commemorated here... nothing valued is here."
+)
+PHRASE_B = (
+    "What is here was dangerous and repulsive to us. This message is a "
+    "warning about danger."
+)
+PHRASE_C = (
+    "The danger is unleashed only if you substantially disturb this place "
+    "physically."
+)
+
+HEAD_TERMS = ["the", "data", "science"]
+VOCAB_SIZE = 10_000
+
+
+def _vocab() -> list[str]:
+    return [f"w{i:05d}" for i in range(VOCAB_SIZE)]
+
+
+def make_web_pages(n: int, seed: int = 42) -> pd.DataFrame:
+    """Build the web_pages pandas frame; deterministic for (n, seed)."""
+    rng = np.random.default_rng(seed)
+    vocab = np.array(_vocab(), dtype=object)
+    # zipf-ranked sampling over the vocabulary
+    ranks = np.arange(1, VOCAB_SIZE + 1, dtype=np.float64)
+    probs = 1.0 / ranks
+    probs /= probs.sum()
+
+    base_ts = datetime(1999, 12, 31, tzinfo=timezone.utc)
+    rows = []
+    for i in range(n):
+        n_tok = int(rng.integers(20, 120))
+        toks = list(rng.choice(vocab, size=n_tok, p=probs))
+        for h in HEAD_TERMS:
+            if rng.random() < 0.35:
+                toks.insert(int(rng.integers(0, len(toks) + 1)), h)
+        cls = i % 17
+        if cls == 3:
+            planted = PHRASE_A
+        elif cls == 5:
+            planted = PHRASE_B
+        elif cls == 7:
+            planted = PHRASE_C
+        else:
+            planted = ""
+        body = " ".join(toks) + (" " + planted if planted else "")
+        url = f"https://site{i % 97}.example/page/{i}"
+        if i % 13 == 12 and i >= 13:
+            # scheme + trailing-slash variant of an earlier url
+            url = f"http://site{(i - 13) % 97}.example/page/{i - 13}/"
+        html = (
+            "<html><head><title>Page {}</title>"
+            "<script>var x = 'noise &amp; nonsense';</script>"
+            "<style>.c {{ color: red }}</style></head>"
+            "<body><!-- boilerplate --><h1>Doc &#35;{}</h1><p>{}</p></body></html>"
+        ).format(i, i, body).encode("utf-8")
+        lang_roll = rng.random()
+        lang = "en" if lang_roll < 0.95 else ("de" if lang_roll < 0.975 else "fr")
+        rows.append(
+            {
+                "doc_id": i,
+                "url": url,
+                "warc_ts": base_ts + timedelta(hours=7 * i),
+                "html": html,
+                "text": body,
+                "lang": lang,
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def make_queries(n: int = 200, seed: int = 43) -> list[dict]:
+    """Reference query set (FIXTURES.md §4): head/mid/tail keywords, phrase
+    quotes, negations, and the planted-phrase parity cases."""
+    rng = np.random.default_rng(seed)
+    vocab = _vocab()
+    queries: list[dict] = [
+        {"query_id": 0, "query_text": "danger", "k": 13},
+        {"query_id": 1, "query_text": '"nothing valued is here"', "k": 13},
+        {"query_id": 2, "query_text": '"nothing valued here"', "k": 13},
+        {"query_id": 3, "query_text": "place honor", "k": 13},
+        {"query_id": 4, "query_text": "danger -warning", "k": 13},
+        {"query_id": 5, "query_text": "the data science", "k": 101},
+    ]
+    qid = len(queries)
+    while qid < n:
+        n_terms = int(rng.integers(1, 5))
+        # mix head, mid, tail ranks
+        terms = []
+        for _ in range(n_terms):
+            bucket = rng.random()
+            if bucket < 0.3:
+                terms.append(vocab[int(rng.integers(0, 20))])
+            elif bucket < 0.7:
+                terms.append(vocab[int(rng.integers(20, 500))])
+            else:
+                terms.append(vocab[int(rng.integers(500, VOCAB_SIZE))])
+        k = 13 if rng.random() < 0.8 else 101
+        queries.append(
+            {"query_id": qid, "query_text": " ".join(terms), "k": k}
+        )
+        qid += 1
+    return queries

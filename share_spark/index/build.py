@@ -1,0 +1,500 @@
+"""Distributed inverted-index build (the plane SHARE delegated to ES/Lucene).
+
+Pipeline (all DataFrame + Arrow UDFs; see SURVEY.md §3.3 "Spark shape"):
+
+  pages --extract/tokenize (mapInPandas, map-side tf)--> termdoc(term, doc_id, tf, dl)
+        --groupBy(term) [partial agg]---------------> term_stats(term, df, cf)
+        --repartitionByRange(term, doc_id) + sort --> posting blocks (delta+varint)
+        --manifest.json (config checksum, corpus stats, per-partition metrics)
+
+Scale decisions (BASELINE.json north_rule: partitioning/shuffle/skew explicit):
+
+- **No token-level shuffle.** Term frequencies are computed per document
+  inside the tokenize UDF (map-side combine), so the shuffle moves one row
+  per (term, doc) posting, never one row per token occurrence.
+- **Head-term skew.** A head term in >30% of documents would overwhelm any
+  hash-partitioned `groupBy(term)` reducer. Posting assembly therefore uses
+  `repartitionByRange(term, doc_id)`: a hot term's postings are *split across
+  consecutive range partitions* (range salting), each encoding its own
+  sorted block run. Blocks carry absolute first-doc ids, so no cross-partition
+  merge is needed — the decomposition is exact, not approximate.
+  `term_stats` aggregation is safe from the same skew because Spark's partial
+  (map-side) aggregation collapses each term to one row per map task before
+  the shuffle.
+- **Chunk alignment for distributed WAND.** Blocks never span a doc-id chunk
+  (chunk = doc_id // chunk_docs), so every term's postings for a given doc
+  land in the same chunk — the query planner (query/wand.py) groups by chunk
+  and scores document-at-a-time with block-max skipping, with no risk of a
+  document's score being split across tasks.
+- **Resumable.** Each stage (docs, termdoc, term_stats, postings) is a
+  parquet checkpoint with a done-marker; re-running `build_index(resume=True)`
+  skips completed stages (analog of SHARE's IndexBackfill state machine,
+  share/models/index_backfill.py:35-146). The manifest records per-partition
+  lineage + metrics (postings count, encoded bytes) — analog of SHARE's
+  harvest-job provenance (SUID + chunk_timestamp,
+  share/search/index_strategy/trovesearch_denorm.py:126-139).
+
+Storage is plain parquet here (the production target is Iceberg; the Iceberg
+runtime jar is not available in this sandbox — layout and partitioning are
+identical, snapshots are modeled by the generation list in the manifest).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from collections.abc import Iterator
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..analysis import tokenize
+from ..extract import EXTRACTOR_VERSION, extract_text
+from .codec import delta_encode, varint_encode
+
+K1_DEFAULT = 1.2  # Lucene BM25 defaults; the reference never overrides
+B_DEFAULT = 0.75  # `similarity` (SURVEY.md §2.5, BASELINE.md §A)
+
+TERMDOC_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("tf", T.IntegerType()),
+        T.StructField("dl", T.IntegerType()),
+    ]
+)
+
+DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("text_norm", T.StringType()),
+        T.StructField("doc_len", T.IntegerType()),
+    ]
+)
+
+BLOCKS_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType()),
+        T.StructField("chunk", T.LongType()),
+        T.StructField("first_doc", T.LongType()),
+        T.StructField("last_doc", T.LongType()),
+        T.StructField("n", T.IntegerType()),
+        T.StructField("docs_bin", T.BinaryType()),
+        T.StructField("tfs_bin", T.BinaryType()),
+        T.StructField("dls_bin", T.BinaryType()),
+        T.StructField("max_impact", T.DoubleType()),
+        T.StructField("part_id", T.IntegerType()),
+    ]
+)
+
+
+@dataclass
+class IndexConfig:
+    analyzer: str = "standard"
+    block_size: int = 128
+    chunk_docs: int = 8192
+    k1: float = K1_DEFAULT
+    b: float = B_DEFAULT
+    n_partitions: int | None = None
+
+    def checksum(self) -> str:
+        """Analog of CURRENT_STRATEGY_CHECKSUM (index_strategy/_base.py:47):
+        sha-256 over the config that defines index layout semantics."""
+        blob = json.dumps(
+            {
+                "analyzer": self.analyzer,
+                "block_size": self.block_size,
+                "chunk_docs": self.chunk_docs,
+                "k1": self.k1,
+                "b": self.b,
+                "extractor_version": EXTRACTOR_VERSION,
+                "layout": "delta-varint-blocks-v1",
+            },
+            sort_keys=True,
+        )
+        return hashlib.sha256(blob.encode()).hexdigest()[:16]
+
+
+def _stage_dir(index_dir: str, stage: str) -> str:
+    return os.path.join(index_dir, stage)
+
+
+def _done_marker(index_dir: str, stage: str) -> str:
+    return os.path.join(index_dir, f"_DONE_{stage}")
+
+
+def _stage_done(index_dir: str, stage: str) -> bool:
+    return os.path.exists(_done_marker(index_dir, stage))
+
+
+def _mark_done(index_dir: str, stage: str) -> None:
+    with open(_done_marker(index_dir, stage), "w") as f:
+        f.write("ok")
+
+
+def build_docs(
+    spark: SparkSession,
+    pages: DataFrame,
+    analyzer: str,
+) -> DataFrame:
+    """pages -> docs(doc_id, url, lang, text_norm, doc_len).
+
+    Extraction is the frozen byte-identical extractor (extract.py); doc ids
+    are taken from a `doc_id` column when present, else xxhash64(url)
+    (deterministic; dense assignment is the caller's option at small scale).
+    """
+    cols = set(pages.columns)
+    has_html = "html" in cols
+    has_text = "text" in cols
+    has_docid = "doc_id" in cols
+    has_url = "url" in cols
+    has_lang = "lang" in cols
+
+    def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            html = pdf["html"] if has_html else pd.Series([None] * len(pdf))
+            text = pdf["text"] if has_text else pd.Series([None] * len(pdf))
+            norm = [
+                extract_text(h, t)
+                for h, t in zip(html.tolist(), text.tolist())
+            ]
+            dlen = [len(tokenize(s, analyzer)) for s in norm]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"] if has_docid else pd.NA,
+                    "url": pdf["url"] if has_url else "",
+                    "lang": pdf["lang"] if has_lang else "",
+                    "text_norm": norm,
+                    "doc_len": pd.Series(dlen, dtype="int32"),
+                }
+            )
+
+    docs = pages.mapInPandas(_extract_batches, schema=DOCS_SCHEMA)
+    if not has_docid:
+        docs = docs.withColumn("doc_id", F.xxhash64("url"))
+    return docs
+
+
+def build_termdoc(docs: DataFrame, analyzer: str) -> DataFrame:
+    """docs -> (term, doc_id, tf, dl): per-doc term counting inside the UDF.
+
+    This is the map-side combine: no shuffle happens here, and downstream
+    shuffles move one row per posting (never per token occurrence).
+    """
+
+    def _count_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            terms: list[str] = []
+            doc_ids: list[int] = []
+            tfs: list[int] = []
+            dls: list[int] = []
+            for doc_id, text, dl in zip(
+                pdf["doc_id"].tolist(), pdf["text_norm"].tolist(), pdf["doc_len"].tolist()
+            ):
+                toks = tokenize(text, analyzer)
+                if not toks:
+                    continue
+                arr, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+                terms.extend(arr.tolist())
+                doc_ids.extend([doc_id] * len(arr))
+                tfs.extend(counts.tolist())
+                dls.extend([dl] * len(arr))
+            yield pd.DataFrame(
+                {
+                    "term": pd.Series(terms, dtype="object"),
+                    "doc_id": pd.Series(doc_ids, dtype="int64"),
+                    "tf": pd.Series(tfs, dtype="int32"),
+                    "dl": pd.Series(dls, dtype="int32"),
+                }
+            )
+
+    return docs.select("doc_id", "text_norm", "doc_len").mapInPandas(
+        _count_batches, schema=TERMDOC_SCHEMA
+    )
+
+
+def _make_block_encoder(cfg: IndexConfig, avgdl: float):
+    """Posting-block encoder for one range partition.
+
+    Input arrives sorted by (term, doc_id); the iterator spans the whole
+    partition, so blocks are accumulated across Arrow batches with a carry.
+    Block boundaries: size limit, term change, or chunk boundary
+    (chunk = doc_id // chunk_docs) — see module docstring.
+    """
+    k1, b, bs, chunk_docs = cfg.k1, cfg.b, cfg.block_size, cfg.chunk_docs
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        part_id = TaskContext.get().partitionId() if TaskContext.get() else -1
+        carry: pd.DataFrame | None = None
+        out_rows: list[tuple] = []
+
+        def flush_group(term: str, chunk: int, ids, tfs, dls) -> None:
+            # ids/tfs/dls: numpy arrays for one (term, chunk) group, sorted
+            for s in range(0, len(ids), bs):
+                bi, bt, bd = ids[s : s + bs], tfs[s : s + bs], dls[s : s + bs]
+                tfd = bt.astype(np.float64)
+                dld = bd.astype(np.float64)
+                impact = (tfd * (k1 + 1.0)) / (
+                    tfd + k1 * (1.0 - b + b * dld / avgdl)
+                )
+                out_rows.append(
+                    (
+                        term,
+                        int(chunk),
+                        int(bi[0]),
+                        int(bi[-1]),
+                        int(len(bi)),
+                        delta_encode(bi),
+                        varint_encode(bt),
+                        varint_encode(bd),
+                        float(impact.max()),
+                        part_id,
+                    )
+                )
+
+        def process(pdf: pd.DataFrame, final: bool) -> None:
+            nonlocal carry
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if len(pdf) == 0:
+                return
+            terms = pdf["term"].to_numpy()
+            ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            chunks = ids // chunk_docs
+            # group change points on (term, chunk)
+            change = np.empty(len(pdf), dtype=bool)
+            change[0] = True
+            change[1:] = (terms[1:] != terms[:-1]) | (chunks[1:] != chunks[:-1])
+            starts = np.nonzero(change)[0]
+            ends = np.append(starts[1:], len(pdf))
+            last_full = len(starts) if final else len(starts) - 1
+            tfs = pdf["tf"].to_numpy(dtype=np.int64)
+            dls = pdf["dl"].to_numpy(dtype=np.int64)
+            for gi in range(last_full):
+                s, e = starts[gi], ends[gi]
+                flush_group(terms[s], chunks[s], ids[s:e], tfs[s:e], dls[s:e])
+            if not final and len(starts) > 0:
+                carry = pdf.iloc[starts[-1] :].reset_index(drop=True)
+
+        for pdf in batches:
+            process(pdf, final=False)
+            if out_rows:
+                yield pd.DataFrame(
+                    out_rows,
+                    columns=[f.name for f in BLOCKS_SCHEMA.fields],
+                )
+                out_rows = []
+        process(
+            pd.DataFrame(
+                {
+                    "term": pd.Series([], dtype="object"),
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "tf": pd.Series([], dtype="int64"),
+                    "dl": pd.Series([], dtype="int64"),
+                }
+            ),
+            final=True,
+        )
+        if out_rows:
+            yield pd.DataFrame(out_rows, columns=[f.name for f in BLOCKS_SCHEMA.fields])
+
+    return encode
+
+
+def build_index(
+    spark: SparkSession,
+    pages: DataFrame,
+    index_dir: str,
+    cfg: IndexConfig | None = None,
+    resume: bool = False,
+    generation: int = 0,
+) -> dict:
+    """Full batch index build; returns the manifest dict.
+
+    Analog of SHARE's backfill (share/models/index_backfill.py:148-188 +
+    daemon bulk loop) collapsed into one deterministic Spark DAG.
+    """
+    cfg = cfg or IndexConfig()
+    gdir = os.path.join(index_dir, f"gen{generation}")
+    os.makedirs(gdir, exist_ok=True)
+
+    docs_path = _stage_dir(gdir, "docs")
+    termdoc_path = _stage_dir(gdir, "termdoc")
+    stats_path = _stage_dir(gdir, "term_stats")
+    postings_path = _stage_dir(gdir, "postings")
+
+    # stage 1: docs (extract + doc_len)
+    if not (resume and _stage_done(gdir, "docs")):
+        docs = build_docs(spark, pages, cfg.analyzer)
+        docs.write.mode("overwrite").parquet(docs_path)
+        _mark_done(gdir, "docs")
+    docs = spark.read.parquet(docs_path)
+
+    # stage 2: termdoc checkpoint (tokenize once; resume skips re-tokenizing)
+    if not (resume and _stage_done(gdir, "termdoc")):
+        build_termdoc(docs, cfg.analyzer).write.mode("overwrite").parquet(termdoc_path)
+        _mark_done(gdir, "termdoc")
+    termdoc = spark.read.parquet(termdoc_path)
+
+    # stage 3: corpus + term stats. groupBy(term) is skew-safe via Spark's
+    # partial aggregation; output sorted by term for parquet min/max pruning
+    # at query time (the "broadcast term statistics" of the north rule are
+    # looked up per-query from this sorted table).
+    if not (resume and _stage_done(gdir, "term_stats")):
+        stats_parts = max(4, spark.sparkContext.defaultParallelism // 2)
+        (
+            termdoc.groupBy("term")
+            .agg(F.count("*").alias("df"), F.sum("tf").alias("cf"))
+            .repartitionByRange(stats_parts, "term")
+            .sortWithinPartitions("term")
+            .write.mode("overwrite")
+            .parquet(stats_path)
+        )
+        _mark_done(gdir, "term_stats")
+
+    row = docs.agg(
+        F.count("*").alias("n_docs"), F.avg("doc_len").alias("avgdl")
+    ).collect()[0]
+    n_docs, avgdl = int(row["n_docs"]), float(row["avgdl"] or 0.0)
+
+    # stage 4: posting blocks. Range partitioning on (term, doc_id) = the
+    # explicit skew answer: hot terms split across consecutive partitions.
+    if not (resume and _stage_done(gdir, "postings")):
+        n_parts = cfg.n_partitions or spark.sparkContext.defaultParallelism
+        (
+            termdoc.repartitionByRange(n_parts, "term", "doc_id")
+            .sortWithinPartitions("term", "doc_id")
+            .mapInPandas(_make_block_encoder(cfg, avgdl), schema=BLOCKS_SCHEMA)
+            .write.mode("overwrite")
+            .parquet(postings_path)
+        )
+        _mark_done(gdir, "postings")
+
+    # manifest: config checksum + corpus stats + per-partition lineage/metrics
+    postings = spark.read.parquet(postings_path)
+    part_metrics = {
+        str(r["part_id"]): {
+            "n_blocks": int(r["n_blocks"]),
+            "n_postings": int(r["n_postings"]),
+            "encoded_bytes": int(r["encoded_bytes"]),
+        }
+        for r in postings.groupBy("part_id")
+        .agg(
+            F.count("*").alias("n_blocks"),
+            F.sum("n").alias("n_postings"),
+            F.sum(
+                F.octet_length("docs_bin")
+                + F.octet_length("tfs_bin")
+                + F.octet_length("dls_bin")
+            ).alias("encoded_bytes"),
+        )
+        .collect()
+    }
+    n_terms = spark.read.parquet(stats_path).count()
+    gen_manifest = {
+        "generation": generation,
+        "strategy_check": cfg.checksum(),
+        "analyzer": cfg.analyzer,
+        "block_size": cfg.block_size,
+        "chunk_docs": cfg.chunk_docs,
+        "k1": cfg.k1,
+        "b": cfg.b,
+        "n_docs": n_docs,
+        "avgdl": avgdl,
+        "n_terms": int(n_terms),
+        "partitions": part_metrics,
+    }
+    with open(os.path.join(gdir, "manifest.json"), "w") as f:
+        json.dump(gen_manifest, f, indent=1, sort_keys=True)
+
+    manifest_path = os.path.join(index_dir, "manifest.json")
+    manifest = {"strategy_check": cfg.checksum(), "generations": []}
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            manifest = json.load(f)
+    gens = [g for g in manifest.get("generations", []) if g != generation]
+    gens.append(generation)
+    manifest["generations"] = sorted(gens)
+    manifest["strategy_check"] = cfg.checksum()
+    with open(manifest_path, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    return gen_manifest
+
+
+@dataclass
+class IndexReader:
+    """Handle over a built index (all generations)."""
+
+    spark: SparkSession
+    index_dir: str
+    manifest: dict = field(default_factory=dict)
+    gen_manifests: list[dict] = field(default_factory=list)
+
+    @classmethod
+    def open(cls, spark: SparkSession, index_dir: str) -> "IndexReader":
+        with open(os.path.join(index_dir, "manifest.json")) as f:
+            manifest = json.load(f)
+        gens = []
+        for g in manifest["generations"]:
+            with open(os.path.join(index_dir, f"gen{g}", "manifest.json")) as f:
+                gens.append(json.load(f))
+        return cls(spark, index_dir, manifest, gens)
+
+    def _union(self, stage: str) -> DataFrame:
+        paths = [
+            os.path.join(self.index_dir, f"gen{g['generation']}", stage)
+            for g in self.gen_manifests
+        ]
+        return self.spark.read.parquet(*paths)
+
+    @property
+    def k1(self) -> float:
+        return self.gen_manifests[0]["k1"]
+
+    @property
+    def b(self) -> float:
+        return self.gen_manifests[0]["b"]
+
+    @property
+    def analyzer(self) -> str:
+        return self.gen_manifests[0]["analyzer"]
+
+    @property
+    def n_docs(self) -> int:
+        return sum(g["n_docs"] for g in self.gen_manifests)
+
+    @property
+    def avgdl(self) -> float:
+        n = self.n_docs
+        if n == 0:
+            return 0.0
+        return sum(g["avgdl"] * g["n_docs"] for g in self.gen_manifests) / n
+
+    def postings(self) -> DataFrame:
+        return self._union("postings")
+
+    def docs(self) -> DataFrame:
+        return self._union("docs")
+
+    def term_stats(self) -> DataFrame:
+        """Union across generations, re-aggregated (df/cf add)."""
+        df = self._union("term_stats")
+        if len(self.gen_manifests) == 1:
+            return df
+        return df.groupBy("term").agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+
+    def tombstones(self) -> DataFrame | None:
+        path = os.path.join(self.index_dir, "tombstones")
+        if os.path.exists(path):
+            return self.spark.read.parquet(path)
+        return None

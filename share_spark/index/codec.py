@@ -1,0 +1,83 @@
+"""Posting-list binary codec: docID delta + varint, numpy-vectorized.
+
+The reference delegates posting-list storage to Lucene (FOR/PFOR inside
+Elasticsearch; see SURVEY.md §4 "Compression"). Here the layout is explicit:
+a posting block stores
+
+- doc ids   : strictly increasing -> delta-encoded (first value absolute),
+              then LEB128 varint
+- tfs, dls  : raw LEB128 varint (term frequency, document length)
+
+All encode/decode paths are numpy-vectorized (no per-value Python loops over
+postings; loops are over *byte positions*, bounded by max varint width = 10),
+so they are safe to call inside Arrow/pandas UDFs per BASELINE.json
+input_hint ("no per-row Python").
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_U7 = np.uint64(7)
+_MASK = np.uint64(0x7F)
+_CONT = np.uint8(0x80)
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode an array of non-negative ints (vectorized)."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    n = v.shape[0]
+    if n == 0:
+        return b""
+    # bytes needed per value = ceil(bit_length / 7), minimum 1
+    nbytes = np.ones(n, dtype=np.int64)
+    tmp = v >> _U7
+    while tmp.any():
+        nbytes += tmp > 0
+        tmp = tmp >> _U7
+    out = np.zeros(int(nbytes.sum()), dtype=np.uint8)
+    offs = np.zeros(n, dtype=np.int64)
+    np.cumsum(nbytes[:-1], out=offs[1:])
+    cur = v.copy()
+    for i in range(int(nbytes.max())):
+        mask = nbytes > i
+        idx = offs[mask] + i
+        byte = (cur[mask] & _MASK).astype(np.uint8)
+        more = (nbytes[mask] > i + 1).astype(np.uint8)
+        out[idx] = byte | (more << 7)
+        cur[mask] = cur[mask] >> _U7
+    return out.tobytes()
+
+
+def varint_decode(buf: bytes) -> np.ndarray:
+    """Decode LEB128 bytes into a uint64 array (vectorized)."""
+    data = np.frombuffer(buf, dtype=np.uint8)
+    if data.shape[0] == 0:
+        return np.empty(0, dtype=np.uint64)
+    ends = np.nonzero((data & _CONT) == 0)[0]
+    starts = np.empty_like(ends)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    payload = (data & np.uint8(0x7F)).astype(np.uint64)
+    vals = np.zeros(ends.shape[0], dtype=np.uint64)
+    lengths = ends - starts + 1
+    for i in range(int(lengths.max())):
+        mask = lengths > i
+        vals[mask] |= payload[starts[mask] + i] << np.uint64(7 * i)
+    return vals
+
+
+def delta_encode(doc_ids: np.ndarray) -> bytes:
+    """Encode a strictly-increasing doc-id array: first absolute, rest gaps."""
+    ids = np.ascontiguousarray(doc_ids, dtype=np.uint64)
+    if ids.shape[0] == 0:
+        return b""
+    gaps = np.empty_like(ids)
+    gaps[0] = ids[0]
+    np.subtract(ids[1:], ids[:-1], out=gaps[1:])
+    return varint_encode(gaps)
+
+
+def delta_decode(buf: bytes) -> np.ndarray:
+    gaps = varint_decode(buf)
+    return np.cumsum(gaps, dtype=np.uint64)

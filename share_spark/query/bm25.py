@@ -1,0 +1,230 @@
+"""BM25 scoring over the posting-block index.
+
+Semantics parity (SURVEY.md §2.8): Lucene BM25 with k1=1.2, b=0.75 — the
+reference never overrides `similarity`; relevance is the default order when
+text is present (trovesearch_denorm.py:758-766). idf is the Lucene formula
+  idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5))
+with **global** (not shard-local) df — more deterministic than ES's default.
+
+Query language parity (trovesearch_denorm.py:656-668, search_params.py:51-53,
+tests pinned at _common_trovesearch_tests.py:455-474):
+- AND of terms (simple_query_string default_operator=AND)
+- '"..."' quoted phrases must match in order
+- '-' prefix negates a term or phrase
+
+The exact scorer below is a pure DataFrame plan (decode UDF -> broadcast idf
+join -> JVM-side score expression -> groupBy sum -> top-k); it is the oracle-
+checkable path. query/wand.py implements the block-max skipping path that
+must produce rank-identical results.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from collections.abc import Iterator
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..analysis import tokenize
+from ..index.build import IndexReader
+from ..index.codec import delta_decode, varint_decode
+
+POSTINGS_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("tf", T.IntegerType()),
+        T.StructField("dl", T.IntegerType()),
+    ]
+)
+
+
+@dataclass(frozen=True)
+class ParsedQuery:
+    """AND-of-terms + phrases, with negations (SURVEY.md §2.8)."""
+
+    terms: tuple[str, ...]  # positive terms (from bare words AND phrase words)
+    phrases: tuple[tuple[str, ...], ...]
+    neg_terms: tuple[str, ...]
+    neg_phrases: tuple[tuple[str, ...], ...] = field(default_factory=tuple)
+
+
+_QUERY_TOKEN_RE = re.compile(r'(-?)"([^"]*)"|(-?)(\S+)')
+
+
+def parse_query(text: str, analyzer: str = "standard") -> ParsedQuery:
+    terms: list[str] = []
+    phrases: list[tuple[str, ...]] = []
+    neg_terms: list[str] = []
+    neg_phrases: list[tuple[str, ...]] = []
+    for m in _QUERY_TOKEN_RE.finditer(text):
+        if m.group(2) is not None:
+            toks = tuple(tokenize(m.group(2), analyzer))
+            if not toks:
+                continue
+            if m.group(1) == "-":
+                neg_phrases.append(toks)
+            else:
+                phrases.append(toks)
+                terms.extend(toks)
+        else:
+            toks = tokenize(m.group(4), analyzer)
+            if not toks:
+                continue
+            if m.group(3) == "-":
+                neg_terms.extend(toks)
+            else:
+                terms.extend(toks)
+    return ParsedQuery(
+        tuple(dict.fromkeys(terms)),
+        tuple(phrases),
+        tuple(dict.fromkeys(neg_terms)),
+        tuple(neg_phrases),
+    )
+
+
+def idf(n_docs: int, df: int) -> float:
+    return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+
+def decode_blocks(blocks: DataFrame) -> DataFrame:
+    """Posting blocks -> (term, doc_id, tf, dl) rows, vectorized decode."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            terms: list[np.ndarray] = []
+            ids: list[np.ndarray] = []
+            tfs: list[np.ndarray] = []
+            dls: list[np.ndarray] = []
+            for term, docs_bin, tfs_bin, dls_bin, n in zip(
+                pdf["term"], pdf["docs_bin"], pdf["tfs_bin"], pdf["dls_bin"], pdf["n"]
+            ):
+                d = delta_decode(docs_bin)
+                terms.append(np.full(len(d), term, dtype=object))
+                ids.append(d.astype(np.int64))
+                tfs.append(varint_decode(tfs_bin).astype(np.int32))
+                dls.append(varint_decode(dls_bin).astype(np.int32))
+            if not ids:
+                yield pd.DataFrame(
+                    {"term": [], "doc_id": [], "tf": [], "dl": []}
+                ).astype({"doc_id": "int64", "tf": "int32", "dl": "int32"})
+                continue
+            yield pd.DataFrame(
+                {
+                    "term": np.concatenate(terms),
+                    "doc_id": np.concatenate(ids),
+                    "tf": np.concatenate(tfs),
+                    "dl": np.concatenate(dls),
+                }
+            )
+
+    return blocks.mapInPandas(_decode, schema=POSTINGS_SCHEMA)
+
+
+def term_idf_df(index: IndexReader, terms: tuple[str, ...]) -> DataFrame:
+    """Per-query term statistics lookup — small, broadcast at the join.
+
+    The filter on the sorted `term_stats` parquet prunes row groups via
+    min/max stats (north rule: 'broadcast term statistics'; only the query's
+    terms are ever read or shipped)."""
+    n = index.n_docs
+    stats = index.term_stats().filter(F.col("term").isin(list(terms)))
+    return stats.select(
+        "term",
+        "df",
+        F.log1p(
+            (F.lit(float(n)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        ).alias("idf"),
+    )
+
+
+def _phrase_filter(index: IndexReader, candidates: DataFrame, pq: ParsedQuery) -> DataFrame:
+    """Verify phrases / negated phrases by re-checking normalized doc text.
+
+    Tokens are analyzer output joined by single spaces, so an in-order phrase
+    match is a word-boundary substring match on the token-joined text —
+    equivalent to a positional-index phrase check for this analyzer family.
+    """
+    needed = pq.phrases or pq.neg_phrases
+    if not needed:
+        return candidates
+    docs = index.docs().select("doc_id", "text_norm")
+    joined = candidates.join(docs, "doc_id", "left")
+    analyzer = index.analyzer
+
+    # tokenized text as a column via pandas UDF (same analyzer as indexing)
+    @F.pandas_udf(T.StringType())
+    def _norm_tokens(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: " " + " ".join(tokenize(t or "", analyzer)) + " ")
+
+    joined = joined.withColumn("_tokstr", _norm_tokens("text_norm"))
+    cond = F.lit(True)
+    for ph in pq.phrases:
+        cond = cond & F.col("_tokstr").contains(" " + " ".join(ph) + " ")
+    for ph in pq.neg_phrases:
+        cond = cond & ~F.col("_tokstr").contains(" " + " ".join(ph) + " ")
+    return joined.filter(cond).drop("_tokstr", "text_norm")
+
+
+def exact_topk(
+    index: IndexReader,
+    query_text: str,
+    k: int = 13,
+    offset: int = 0,
+) -> DataFrame:
+    """Exact BM25 top-k: returns (doc_id, score, rank), rank 1-based.
+
+    AND semantics: a doc must contain every positive term; negated terms and
+    phrases filter candidates out. Tie-break: ascending doc_id (deterministic
+    ordering mirrors the reference's pinned orderings,
+    _common_trovesearch_tests.py:330-337).
+    """
+    pq = parse_query(query_text, index.analyzer)
+    if not pq.terms:
+        raise ValueError("query has no positive terms")
+    k1, b, avgdl = index.k1, index.b, index.avgdl
+
+    blocks = index.postings().filter(F.col("term").isin(list(pq.terms)))
+    postings = decode_blocks(blocks)
+    tomb = index.tombstones()
+    if tomb is not None:
+        postings = postings.join(F.broadcast(tomb), "doc_id", "left_anti")
+    stats = term_idf_df(index, pq.terms)
+    scored = postings.join(F.broadcast(stats), "term")
+    per_term = scored.withColumn(
+        "tscore",
+        F.col("idf")
+        * (F.col("tf") * (k1 + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+        ),
+    )
+    agg = per_term.groupBy("doc_id").agg(
+        F.sum("tscore").alias("score"), F.count("*").alias("n_terms_hit")
+    )
+    # AND-of-terms (simple_query_string default_operator=AND)
+    agg = agg.filter(F.col("n_terms_hit") == len(pq.terms)).drop("n_terms_hit")
+
+    if pq.neg_terms:
+        neg_blocks = index.postings().filter(F.col("term").isin(list(pq.neg_terms)))
+        neg_docs = decode_blocks(neg_blocks).select("doc_id").distinct()
+        agg = agg.join(neg_docs, "doc_id", "left_anti")
+    agg = _phrase_filter(index, agg, pq)
+
+    # top-(offset+k) first (Catalyst TakeOrderedAndProject: per-partition
+    # heaps + single merge), then rank the tiny result — the window function
+    # never sees more than offset+k rows.
+    topn = agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(offset + k)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    ranked = topn.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") > offset
+    )
+    return ranked.select("doc_id", "score", "rank")

@@ -1,0 +1,101 @@
+"""Index-build correctness: postings round-trip, stats, skew layout, resume."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from share_spark.corpus import make_web_pages
+from share_spark.index.build import IndexConfig, IndexReader, build_index
+from share_spark.query.bm25 import decode_blocks
+
+
+def test_postings_roundtrip_matches_frozen(built_index, pages_pdf):
+    """Decoded postings == frozen naive index's tf table, exactly."""
+    from tests.frozen_bm25 import FrozenIndex
+
+    frozen = FrozenIndex.from_pages(pages_pdf)
+    decoded = decode_blocks(built_index.postings()).collect()
+    got = {(r["term"], r["doc_id"]): (r["tf"], r["dl"]) for r in decoded}
+    want = {
+        (t, d): (c, len(frozen.tokens[d]))
+        for d, cnt in frozen.tf.items()
+        for t, c in cnt.items()
+    }
+    assert got == want
+
+
+def test_term_stats_match_frozen(built_index, pages_pdf):
+    from tests.frozen_bm25 import FrozenIndex
+
+    frozen = FrozenIndex.from_pages(pages_pdf)
+    stats = {r["term"]: r["df"] for r in built_index.term_stats().collect()}
+    assert stats == dict(frozen.df)
+    assert built_index.n_docs == frozen.n_docs
+    assert abs(built_index.avgdl - frozen.avgdl) < 1e-9
+
+
+def test_blocks_are_sorted_chunk_aligned_and_sized(built_index):
+    rows = built_index.postings().collect()
+    cfg_chunk = built_index.gen_manifests[0]["chunk_docs"]
+    bs = built_index.gen_manifests[0]["block_size"]
+    for r in rows:
+        assert r["n"] <= bs
+        assert r["first_doc"] <= r["last_doc"]
+        assert r["first_doc"] // cfg_chunk == r["chunk"]
+        assert r["last_doc"] // cfg_chunk == r["chunk"], "block spans a chunk"
+    # per (term): doc ranges of blocks must be disjoint and increasing overall
+    by_term = {}
+    for r in rows:
+        by_term.setdefault(r["term"], []).append((r["first_doc"], r["last_doc"]))
+    for term, spans in by_term.items():
+        spans.sort()
+        for (a1, b1), (a2, b2) in zip(spans, spans[1:]):
+            assert b1 < a2, f"overlapping blocks for {term}"
+
+
+def test_block_max_impact_is_true_max(built_index):
+    k1 = built_index.k1
+    b = built_index.b
+    avgdl = built_index.avgdl
+    from share_spark.index.codec import varint_decode
+
+    for r in built_index.postings().limit(200).collect():
+        tf = varint_decode(r["tfs_bin"]).astype(float)
+        dl = varint_decode(r["dls_bin"]).astype(float)
+        impact = (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dl / avgdl))
+        assert np.isclose(r["max_impact"], impact.max())
+
+
+def test_manifest_partition_metrics(built_index):
+    m = built_index.gen_manifests[0]
+    assert m["n_docs"] == 300
+    assert m["strategy_check"]
+    total = sum(p["n_postings"] for p in m["partitions"].values())
+    assert total == decodecount(built_index)
+
+
+def decodecount(idx):
+    return idx.postings().agg(F.sum("n")).collect()[0][0]
+
+
+def test_resume_skips_done_stages(spark, tmp_path):
+    """Kill/resume invariant (SURVEY.md §5 item v): stage markers make
+    re-runs skip completed work and produce the identical index."""
+    pages = spark.createDataFrame(make_web_pages(50, seed=7))
+    d = str(tmp_path / "idx")
+    cfg = IndexConfig(block_size=16, chunk_docs=32)
+    build_index(spark, pages, d, cfg)
+    before = sorted(
+        (r["term"], r["doc_id"])
+        for r in decode_blocks(IndexReader.open(spark, d).postings()).collect()
+    )
+    # simulate a crash after termdoc: wipe later stage markers, rebuild resume=True
+    import os
+
+    os.remove(os.path.join(d, "gen0", "_DONE_postings"))
+    os.remove(os.path.join(d, "gen0", "_DONE_term_stats"))
+    build_index(spark, pages, d, cfg, resume=True)
+    after = sorted(
+        (r["term"], r["doc_id"])
+        for r in decode_blocks(IndexReader.open(spark, d).postings()).collect()
+    )
+    assert before == after
