@@ -93,6 +93,70 @@ def make_web_pages(n: int, seed: int = 42) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+SUBJECT_POOL = [f"://subjects.example/s{i}" for i in range(50)]
+CREATOR_POOL = [f"://people.example/p{i}" for i in range(30)]
+
+
+def make_doc_values(pages: pd.DataFrame, seed: int = 44) -> pd.DataFrame:
+    """Long-format structured metadata (FIXTURES.md §2), mirroring the
+    reference GraphWalk output shape (_trovesearch_util.py:111-237):
+    2-5 subject IRIs (one pool member written with/without trailing slash),
+    1-3 creators with name text, dateCreated = warc_ts date, every 10th doc
+    an integer at a depth-2 path."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for r in pages.itertuples():
+        d = int(r.doc_id)
+        n_subj = int(rng.integers(2, 6))
+        for s in rng.choice(len(SUBJECT_POOL), size=n_subj, replace=False):
+            iri = SUBJECT_POOL[int(s)]
+            if int(s) == 0 and d % 2 == 1:
+                iri = iri + "/"  # trailing-slash variant, suffuniq exercise
+            rows.append(
+                dict(doc_id=d, path_key='["dcterms:subject"]', depth=1,
+                     value_type="iri", iri_value=iri, text_value=None,
+                     date_value=None, int_value=None)
+            )
+        n_cre = int(rng.integers(1, 4))
+        for c in rng.choice(len(CREATOR_POOL), size=n_cre, replace=False):
+            rows.append(
+                dict(doc_id=d, path_key='["dcterms:creator"]', depth=1,
+                     value_type="iri", iri_value=CREATOR_POOL[int(c)],
+                     text_value=None, date_value=None, int_value=None)
+            )
+            rows.append(
+                dict(doc_id=d, path_key='["dcterms:creator","foaf:name"]',
+                     depth=2, value_type="text", iri_value=None,
+                     text_value=f"Person {int(c)}", date_value=None,
+                     int_value=None)
+            )
+        rows.append(
+            dict(doc_id=d, path_key='["dcterms:created"]', depth=1,
+                 value_type="date", iri_value=None, text_value=None,
+                 date_value=r.warc_ts.date(), int_value=None)
+        )
+        if d % 10 == 0:
+            rows.append(
+                dict(doc_id=d, path_key='["osf:stats","osf:downloads"]',
+                     depth=2, value_type="int", iri_value=None,
+                     text_value=None, date_value=None,
+                     int_value=int(rng.integers(0, 1000)))
+            )
+    return pd.DataFrame(rows)
+
+
+def make_synonyms(pages: pd.DataFrame) -> pd.DataFrame:
+    """sameAs closure fixture (FIXTURES.md §3): every 7th doc, 1-2 synonyms."""
+    rows = []
+    for r in pages.itertuples():
+        d = int(r.doc_id)
+        if d % 7 == 0:
+            rows.append(dict(doc_id=d, synonym_iri=f"://alias.example/a{d}"))
+            if d % 14 == 0:
+                rows.append(dict(doc_id=d, synonym_iri=f"://doi.example/10.0/{d}"))
+    return pd.DataFrame(rows)
+
+
 def make_queries(n: int = 200, seed: int = 43) -> list[dict]:
     """Reference query set (FIXTURES.md §4): head/mid/tail keywords, phrase
     quotes, negations, and the planted-phrase parity cases."""

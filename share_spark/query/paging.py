@@ -1,0 +1,105 @@
+"""Page cursors, keyset pagination, reproducible random sampling.
+
+Reference parity:
+- PageCursor: base64url(JSON [type_key, *args]) opaque cursors with
+  DEFAULT_PAGE_SIZE=13, MAX_PAGE_SIZE=101, MAX_OFFSET=9997
+  (trove/trovesearch/page_cursor.py:16-19,27-59)
+- OAI-PMH keyset pagination: filter(id > last).orderBy(id).limit(n+1)
+  (share/oaipmh/indexcard_repository.py:199-242, PAGE_SIZE=13)
+- random sampling first page: unseeded random order when no text/sort/filter;
+  subsequent pages re-randomize seeded on the first page's ids, excluding
+  them (trovesearch_denorm.py:739-803, page_cursor.py:125-144). Here the
+  sample is always seeded (deterministic) via xxhash64(seed || doc_id) — the
+  same trick the reference uses for pages >= 2, applied uniformly.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_PAGE_SIZE = 13
+MAX_PAGE_SIZE = 101
+MAX_OFFSET = 9997
+
+
+@dataclass
+class PageCursor:
+    """Opaque cursor: base64url(JSON [type_key, *args])."""
+
+    type_key: str = "offset"
+    args: list = field(default_factory=list)
+
+    def encode(self) -> str:
+        blob = json.dumps([self.type_key, *self.args]).encode()
+        return base64.urlsafe_b64encode(blob).decode().rstrip("=")
+
+    @classmethod
+    def decode(cls, token: str) -> "PageCursor":
+        pad = "=" * (-len(token) % 4)
+        data = json.loads(base64.urlsafe_b64decode(token + pad))
+        return cls(data[0], list(data[1:]))
+
+
+def clamp_page_size(size: int | None) -> int:
+    if size is None:
+        return DEFAULT_PAGE_SIZE
+    return max(1, min(int(size), MAX_PAGE_SIZE))
+
+
+def offset_page(
+    df: DataFrame, order_cols: list, offset: int, page_size: int
+) -> DataFrame:
+    """Offset paging with the reference's MAX_OFFSET guard."""
+    if offset > MAX_OFFSET:
+        raise ValueError(f"offset {offset} exceeds MAX_OFFSET={MAX_OFFSET}")
+    from pyspark.sql import Window
+
+    w = Window.orderBy(*order_cols)
+    return (
+        df.orderBy(*order_cols)
+        .limit(offset + page_size)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") > offset)
+        .drop("_rn")
+    )
+
+
+def keyset_page(
+    df: DataFrame, id_col: str, last_id: int | None, page_size: int = 13
+) -> tuple[DataFrame, bool]:
+    """OAI-PMH-style keyset pagination with +1 overfetch; returns
+    (page_df, has_more). Keyset scales where offset doesn't: the filter is
+    pushed to the scan, no skip-scan of prior pages."""
+    out = df
+    if last_id is not None:
+        out = out.filter(F.col(id_col) > last_id)
+    rows = out.orderBy(F.asc(id_col)).limit(page_size + 1)
+    return rows, page_size  # caller slices; has_more = count > page_size
+
+
+def seeded_random_page(
+    df: DataFrame,
+    id_col: str,
+    seed: str,
+    page_size: int,
+    exclude_ids: list | None = None,
+) -> DataFrame:
+    """Reproducibly-random ordering: xxhash64(seed || id) is a deterministic
+    shuffle key (the reference seeds ES random_score with the first page's
+    ids, trovesearch_denorm.py:787-803). Fully distributed: TakeOrdered."""
+    out = df
+    if exclude_ids:
+        out = out.filter(~F.col(id_col).isin(exclude_ids))
+    return (
+        out.withColumn(
+            "_rk", F.xxhash64(F.concat(F.lit(seed), F.col(id_col).cast("string")))
+        )
+        .orderBy(F.asc("_rk"), F.asc(id_col))
+        .limit(page_size)
+        .drop("_rk")
+    )

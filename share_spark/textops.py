@@ -1,0 +1,312 @@
+"""Training-data pipeline text operators over a documents table.
+
+These are the large-scale corpus-hygiene operators a 100 TB web-text
+pipeline needs on top of the search engine: deduplication (exact, MinHash-
+LSH, SimHash, n-gram Jaccard), language ID, quality scoring, token counting,
+fingerprinting.
+
+Design rules:
+- JVM-side built-ins only in the hot path (md5, split, explode, groupBy,
+  higher-order array functions) — whole-stage codegen, no Python UDFs.
+- Hash functions are md5-hex based so results are engine-portable and
+  oracle-checkable (DuckDB computes identical signatures).
+- Pair-producing operators emit (doc_a < doc_b) canonical pairs.
+
+Scale notes per operator are in each docstring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Marker token sets for the n-gram/stopword language-ID heuristic.
+LANG_MARKERS = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "for", "with", "was"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "von", "zu"),
+    "fr": ("le", "la", "les", "et", "est", "pas", "pour", "dans", "une", "que"),
+    "es": ("el", "los", "las", "es", "no", "por", "para", "una", "con", "del"),
+}
+
+EN_STOPWORDS_SMALL = LANG_MARKERS["en"]
+
+
+def _tokens_col(text_col: str = "text") -> Column:
+    """Whitespace tokens (documents tables ship pre-normalized text; for raw
+    html/text go through extract + analysis first)."""
+    return F.split(F.col(text_col), r"\s+")
+
+
+def with_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact-dup fingerprint: md5 of the text. At scale, groupBy(fingerprint)
+    is skew-free (hash keys uniform) and map-side combined."""
+    return docs.withColumn("fingerprint", F.md5(F.col(text_col)))
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical documents: (fingerprint, group_size, doc_ids).
+    Keep-first dedup = min(doc_id) per group."""
+    return (
+        with_fingerprint(docs, text_col)
+        .groupBy("fingerprint")
+        .agg(
+            F.count("*").alias("group_size"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .filter(F.col("group_size") > 1)
+    )
+
+
+def token_set(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, token) distinct rows — the explode feeding set-based ops."""
+    return (
+        docs.select("doc_id", F.explode(F.array_distinct(_tokens_col(text_col))).alias("token"))
+        .filter(F.col("token") != "")
+    )
+
+
+def ngram_rows(docs: DataFrame, n: int, text_col: str = "text") -> DataFrame:
+    """(doc_id, ngram) distinct word-shingles of length n, built with
+    higher-order array functions (JVM-side, no UDF)."""
+    toks = F.filter(_tokens_col(text_col), lambda t: t != F.lit(""))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    grams = F.when(F.size(toks) >= n, grams).otherwise(F.array())
+    return docs.select(
+        "doc_id", F.explode(F.array_distinct(grams)).alias("ngram")
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n: int = 1,
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs >= threshold.
+
+    Shape: token self-join -> intersection counts -> |A u B| = |A|+|B|-|int|.
+    This is the quadratic *exact* oracle — at 100 TB use minhash_lsh_pairs
+    (candidate generation) and verify candidates with this on the tiny
+    candidate set. The join key is the token: head tokens are skewed, so for
+    the standalone exact version prefilter ultra-common tokens upstream or
+    rely on AQE skew-join splitting; the LSH path avoids the issue entirely.
+    """
+    rows = token_set(docs, text_col) if n == 1 else ngram_rows(docs, n, text_col)
+    rows = rows.withColumnRenamed("ngram", "token") if n > 1 else rows
+    sizes = rows.groupBy("doc_id").agg(F.count("*").alias("set_size"))
+    a = rows.alias("a")
+    b = rows.alias("b")
+    inter = (
+        a.join(b, (F.col("a.token") == F.col("b.token")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("set_size").alias("size_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, n_perm: int = 16, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, perm, minhash) — permutation p's hash of token t is
+    md5(t || '#' || p); the signature is the min per (doc, perm).
+
+    md5 keeps it portable (DuckDB oracle computes identical signatures).
+    All JVM-side; the groupBy is map-side combined, keys are uniform.
+    """
+    toks = token_set(docs, text_col)
+    perms = F.explode(F.sequence(F.lit(0), F.lit(n_perm - 1))).alias("perm")
+    return (
+        toks.select("doc_id", "token", perms)
+        .withColumn(
+            "h", F.md5(F.concat(F.col("token"), F.lit("#"), F.col("perm").cast("string")))
+        )
+        .groupBy("doc_id", "perm")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    n_perm: int = 16,
+    band_size: int = 4,
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash + LSH candidate pairs: band the signature, bucket-join.
+
+    shingle -> minhash -> band -> bucket-join (SURVEY-mandated scale path):
+    the self-join is on (band, band_key) — collision buckets are tiny, so the
+    quadratic blowup of jaccard_pairs never happens. Verify candidates with
+    exact Jaccard on the candidate set when a threshold guarantee is needed.
+    """
+    sig = minhash_signatures(docs, n_perm, text_col)
+    banded = (
+        sig.withColumn("band", (F.col("perm") / band_size).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("perm", "minhash"))),
+                    lambda s: s["minhash"],
+                ),
+            ).alias("band_key")
+        )
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def simhash(docs: DataFrame, bits: int = 32, text_col: str = "text") -> DataFrame:
+    """SimHash fingerprint: bit j is the sign of sum over distinct tokens of
+    (+1 if bit j of md5-derived token hash set else -1).
+
+    Uses the top `bits` bits of a 60-bit integer from the md5 hex prefix
+    (conv is hex->decimal). Near-dups then differ in few bits (hamming).
+    The bit explode multiplies rows by `bits` — fine map-side, no shuffle
+    until the final per-doc groupBy.
+    """
+    toks = token_set(docs, text_col).withColumn(
+        "th", F.conv(F.substring(F.md5("token"), 1, 15), 16, 10).cast("long")
+    )
+    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
+    contrib = (
+        toks.select("doc_id", "th", bit)
+        .withColumn(
+            "w",
+            F.when(F.expr("shiftright(th, bit) & 1") == 1, 1).otherwise(-1),
+        )
+        .groupBy("doc_id", "bit")
+        .agg(F.sum("w").alias("s"))
+        .withColumn("bitval", F.when(F.col("s") > 0, F.lit(1)).otherwise(F.lit(0)))
+    )
+    return contrib.groupBy("doc_id").agg(
+        F.sum(
+            F.col("bitval").cast("long") * F.pow(F.lit(2.0), F.col("bit")).cast("long")
+        ).alias("simhash")
+    )
+
+
+def simhash_pairs(docs: DataFrame, bits: int = 32, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance. Scale path: block on
+    bit-bands of the fingerprint (pigeonhole: distance <= k implies an exact
+    match on one of k+1 bands), join per band."""
+    sh = simhash(docs, bits)
+    n_bands = max_hamming + 1
+    band_bits = bits // n_bands
+    bands = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
+    ).withColumn(
+        "band_val",
+        F.expr(f"shiftright(simhash, band * {band_bits}) & {(1 << band_bits) - 1}"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("ham", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("ham") <= max_hamming)
+        .select("doc_a", "doc_b", "ham")
+    )
+
+
+def text_quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality scoring: token count, mean token length, stopword ratio, and a
+    boolean keep flag — the standard web-text quality gate shape."""
+    toks = F.filter(_tokens_col(text_col), lambda t: t != F.lit(""))
+    n_tokens = F.size(toks)
+    mean_len = F.aggregate(
+        toks, F.lit(0.0), lambda acc, t: acc + F.length(t).cast("double")
+    ) / F.greatest(n_tokens.cast("double"), F.lit(1.0))
+    stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS_SMALL])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    stop_ratio = n_stop.cast("double") / F.greatest(n_tokens.cast("double"), F.lit(1.0))
+    out = docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(mean_len, 4).alias("mean_token_len"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+    )
+    return out.withColumn(
+        "keep",
+        (F.col("n_tokens") >= 10)
+        & (F.col("mean_token_len") >= 2.0)
+        & (F.col("mean_token_len") <= 12.0),
+    )
+
+
+def langid(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-token language ID: score per language = count of marker tokens;
+    argmax with deterministic tie order (en > de > fr > es > und)."""
+    toks = _tokens_col(text_col)
+    scores = {}
+    for lang, markers in LANG_MARKERS.items():
+        marker_arr = F.array(*[F.lit(m) for m in markers])
+        scores[lang] = F.size(F.filter(toks, lambda t: F.array_contains(marker_arr, t)))
+    pred = F.lit("und")
+    best = F.lit(0)
+    for lang in ("es", "fr", "de", "en"):  # reverse priority; later wins ties
+        pred = F.when(scores[lang] >= F.greatest(best, F.lit(1)), F.lit(lang)).otherwise(pred)
+        best = F.greatest(best, scores[lang])
+    return docs.select(
+        "doc_id",
+        *[scores[lang].alias(f"score_{lang}") for lang in LANG_MARKERS],
+        pred.alias("lang_pred"),
+    )
+
+
+def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish sub-token count
+    (alnum runs and single punctuation marks counted separately)."""
+    ws = F.size(F.filter(_tokens_col(text_col), lambda t: t != F.lit("")))
+    bpe_ish = F.size(
+        F.filter(
+            F.split(F.regexp_replace(F.col(text_col), r"([^\w\s])", r" $1 "), r"\s+"),
+            lambda t: t != F.lit(""),
+        )
+    )
+    return docs.select(
+        "doc_id",
+        ws.alias("n_tokens_ws"),
+        bpe_ish.alias("n_tokens_bpe"),
+    )

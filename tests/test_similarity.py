@@ -1,0 +1,67 @@
+"""ANN operators vs numpy oracles on the driver-provided embeddings table."""
+
+import numpy as np
+import pytest
+
+from share_spark import similarity
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+    pdf = df.toPandas()
+    return df, pdf
+
+
+def _numpy_topk(pdf, qvec, k):
+    mat = np.stack(pdf["embedding"].map(np.asarray).to_numpy()).astype(np.float64)
+    q = np.asarray(qvec, dtype=np.float64)
+    cos = mat @ q / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    ids = pdf["vec_id"].to_numpy()
+    order = np.lexsort((ids, -np.round(cos, 6)))
+    return [(int(ids[i]), round(float(cos[i]), 6)) for i in order[:k]]
+
+
+def test_bruteforce_matches_numpy(emb):
+    df, pdf = emb
+    qvec = [float(x) for x in pdf.loc[pdf["vec_id"] == 0, "embedding"].iloc[0]]
+    got = [(r["vec_id"], r["cos"]) for r in similarity.knn_bruteforce(df, qvec, k=10).collect()]
+    want = _numpy_topk(pdf, qvec, 10)
+    assert got == want
+    assert got[0][0] == 0 and abs(got[0][1] - 1.0) < 1e-9  # self is nearest
+
+
+def test_lsh_buckets_are_deterministic(emb):
+    df, _ = emb
+    b1 = {r["vec_id"]: r["lsh_bucket"] for r in similarity.lsh_signature(df, 8).collect()}
+    b2 = {r["vec_id"]: r["lsh_bucket"] for r in similarity.lsh_signature(df, 8).collect()}
+    assert b1 == b2
+    assert all(0 <= v < 256 for v in b1.values())
+    assert len(set(b1.values())) > 1  # actually partitions the space
+
+
+def test_lsh_knn_recall(emb):
+    df, pdf = emb
+    qvec = [float(x) for x in pdf.loc[pdf["vec_id"] == 0, "embedding"].iloc[0]]
+    exact = {v for v, _ in _numpy_topk(pdf, qvec, 10)}
+    approx = {
+        r["vec_id"] for r in similarity.knn_lsh(df, qvec, k=10, n_planes=4).collect()
+    }
+    assert 0 in approx  # self always lands in its own bucket
+    # hamming-1 multiprobe recall@10 on 500 weakly-clustered vectors:
+    # 4 planes -> ~5/16 of the table probed, measured recall 6/10
+    assert len(exact & approx) >= 4
+
+
+def test_all_pairs_above_verifies_cosine(emb):
+    df, pdf = emb
+    out = similarity.all_pairs_above(df, threshold=0.95, n_planes=4).collect()
+    mat = {int(r.vec_id): np.asarray(r.embedding, dtype=np.float64) for r in pdf.itertuples()}
+    for r in out:
+        a, b = mat[r["vec_a"]], mat[r["vec_b"]]
+        cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
+        assert abs(cos - r["cos"]) < 1e-5
+        assert r["cos"] >= 0.95
+        assert r["vec_a"] < r["vec_b"]

@@ -1,0 +1,163 @@
+"""Dedup / quality / langid / token-count operators, verified against
+pure-pandas oracles on the documents-style table."""
+
+import hashlib
+from itertools import combinations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from share_spark import textops
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the cat sat on the mat", "en"),
+        (1, "the cat sat on the mat", "en"),          # exact dup of 0
+        (2, "the cat sat on the red mat", "en"),      # near dup of 0
+        (3, "der hund ist nicht klein und laut", "de"),
+        (4, "le chat est dans la maison pour une nuit", "fr"),
+        (5, "completely different words appear here tonight", "en"),
+        (6, "the cat sat on the mat", "en"),          # exact dup of 0
+        (7, "zz", "und"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang"])
+    df = spark.createDataFrame(pdf).cache()
+    df.count()
+    return df, pdf
+
+
+def _token_sets(pdf):
+    return {r.doc_id: set(r.text.split()) for r in pdf.itertuples()}
+
+
+def test_fingerprint_is_md5(docs):
+    df, pdf = docs
+    got = {r["doc_id"]: r["fingerprint"] for r in textops.with_fingerprint(df).collect()}
+    for r in pdf.itertuples():
+        assert got[r.doc_id] == hashlib.md5(r.text.encode()).hexdigest()
+
+
+def test_exact_duplicates(docs):
+    df, _ = docs
+    groups = textops.exact_duplicates(df).collect()
+    assert len(groups) == 1
+    g = groups[0]
+    assert g["group_size"] == 3 and g["keep_doc_id"] == 0
+
+
+def test_jaccard_pairs_match_oracle(docs):
+    df, pdf = docs
+    sets = _token_sets(pdf)
+    want = set()
+    for a, b in combinations(sorted(sets), 2):
+        j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+        if j >= 0.5:
+            want.add((a, b, round(j, 6)))
+    got = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in textops.jaccard_pairs(df, threshold=0.5).collect()
+    }
+    assert got == want
+    assert (0, 1, 1.0) in got and (0, 6, 1.0) in got
+
+
+def test_ngram_rows(docs):
+    df, _ = docs
+    grams = {
+        r["ngram"]
+        for r in textops.ngram_rows(df.filter("doc_id = 0"), 3).collect()
+    }
+    assert grams == {
+        "the cat sat", "cat sat on", "sat on the", "on the mat",
+    }
+
+
+def test_minhash_identical_docs_always_pair(docs):
+    df, _ = docs
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in textops.minhash_lsh_pairs(df, n_perm=16, band_size=4).collect()
+    }
+    # identical docs have identical signatures -> must collide in every band
+    assert {(0, 1), (0, 6), (1, 6)} <= pairs
+    # unrelated docs must not pair
+    assert (3, 4) not in pairs and (0, 5) not in pairs
+
+
+def test_minhash_signature_matches_python_oracle(docs):
+    df, pdf = docs
+    sig = {
+        (r["doc_id"], r["perm"]): r["minhash"]
+        for r in textops.minhash_signatures(df, n_perm=4).collect()
+    }
+    for r in pdf.itertuples():
+        toks = set(r.text.split())
+        for p in range(4):
+            want = min(
+                hashlib.md5(f"{t}#{p}".encode()).hexdigest() for t in toks
+            )
+            assert sig[(r.doc_id, p)] == want
+
+
+def test_simhash_dups_and_pairs(docs):
+    df, _ = docs
+    sh = {r["doc_id"]: r["simhash"] for r in textops.simhash(df).collect()}
+    assert sh[0] == sh[1] == sh[6]
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["ham"]
+        for r in textops.simhash_pairs(df, max_hamming=6).collect()
+    }
+    assert pairs[(0, 1)] == 0
+    # near dup (added 'red') should be close in hamming space
+    assert (0, 2) in pairs
+
+
+def test_simhash_matches_python_oracle(docs):
+    df, pdf = docs
+    bits = 32
+    got = {r["doc_id"]: r["simhash"] for r in textops.simhash(df, bits=bits).collect()}
+    for r in pdf.itertuples():
+        toks = set(r.text.split())
+        val = 0
+        for j in range(bits):
+            s = 0
+            for t in toks:
+                h = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+                s += 1 if (h >> j) & 1 else -1
+            if s > 0:
+                val |= 1 << j
+        assert got[r.doc_id] == val, r.doc_id
+
+
+def test_text_quality(docs):
+    df, _ = docs
+    q = {r["doc_id"]: r for r in textops.text_quality(df).collect()}
+    assert q[0]["n_tokens"] == 6
+    assert q[0]["stopword_ratio"] == round(2 / 6, 4)  # the, the
+    assert not q[7]["keep"]  # too short
+
+
+def test_langid(docs):
+    df, _ = docs
+    out = {r["doc_id"]: r["lang_pred"] for r in textops.langid(df).collect()}
+    assert out[0] == "en"
+    assert out[3] == "de"
+    assert out[4] == "fr"
+    assert out[7] == "und"
+
+
+def test_token_counts(docs, spark):
+    df, _ = docs
+    tc = {r["doc_id"]: r for r in textops.token_counts(df).collect()}
+    assert tc[0]["n_tokens_ws"] == 6
+    punct = spark.createDataFrame(
+        pd.DataFrame([(99, "hello, world! it's fine", "en")],
+                     columns=["doc_id", "text", "lang"])
+    )
+    got = textops.token_counts(punct).collect()[0]
+    assert got["n_tokens_ws"] == 4
+    # hello , world ! it ' s fine
+    assert got["n_tokens_bpe"] == 8
