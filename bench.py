@@ -1,0 +1,128 @@
+"""Benchmark harness: index-build throughput + query latency + pipeline ops.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR     table dir          (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS       local[N]           (default 32)
+  SPARK_GRAFT_BENCH_DOCS synthetic corpus   (default 200000)
+
+The synthetic web-page corpus (BASELINE.json input_hint shape) is generated
+deterministically and cached as parquet under .bench_cache/ so repeated runs
+measure the engine, not the generator.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from share_spark.corpus import make_queries, make_web_pages_fast  # noqa: E402
+from share_spark.index.build import IndexConfig, IndexReader, build_index  # noqa: E402
+from share_spark.query.wand import wand_topk  # noqa: E402
+from share_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "200000"))
+N_QUERIES = int(os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "40"))
+
+
+def _cached_pages(spark):
+    cache = os.path.join(REPO, ".bench_cache", f"pages_{N_DOCS}")
+    if not os.path.exists(os.path.join(cache, "_SUCCESS")):
+        pdf = make_web_pages_fast(N_DOCS, seed=42)
+        spark.createDataFrame(pdf).repartition(CPUS).write.mode(
+            "overwrite"
+        ).parquet(cache)
+    return spark.read.parquet(cache)
+
+
+def run(spark=None, emit=True) -> dict:
+    own_session = spark is None
+    if own_session:
+        spark = get_spark("bench", cores=CPUS, shuffle_partitions=CPUS)
+    results: dict[str, float] = {}
+    t_total = time.time()
+
+    pages = _cached_pages(spark)
+
+    # --- index build throughput ------------------------------------------
+    idx_dir = tempfile.mkdtemp(prefix="bench_idx_")
+    t0 = time.time()
+    manifest = build_index(
+        spark,
+        pages,
+        idx_dir,
+        IndexConfig(block_size=128, chunk_docs=8192, n_partitions=CPUS),
+    )
+    build_s = time.time() - t0
+    results["index_build"] = round(build_s, 3)
+    docs_per_sec = manifest["n_docs"] / build_s
+    postings = sum(p["n_postings"] for p in manifest["partitions"].values())
+
+    # --- query latency over the reference query set ----------------------
+    idx = IndexReader.open(spark, idx_dir)
+    lat = []
+    queries = [q for q in make_queries(N_QUERIES) if '"' not in q["query_text"]]
+    # warmup (JVM/codegen)
+    wand_topk(idx, "data science", k=13).collect()
+    for q in queries:
+        t0 = time.time()
+        wand_topk(idx, q["query_text"], k=q["k"]).collect()
+        lat.append(time.time() - t0)
+    lat.sort()
+    p50 = lat[len(lat) // 2]
+    p95 = lat[min(len(lat) - 1, int(len(lat) * 0.95))]
+    results["query_p50"] = round(p50, 3)
+    results["query_p95"] = round(p95, 3)
+
+    # --- pipeline ops over the driver tables ------------------------------
+    from share_spark.queries import QUERIES
+
+    for name in (
+        "ft_bm25_topk",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "knn_bruteforce",
+        "term_stats_top",
+        "text_quality",
+    ):
+        t0 = time.time()
+        QUERIES[name](spark, SF_DIR).collect()
+        results[name] = round(time.time() - t0, 3)
+
+    total = round(time.time() - t_total, 3)
+    shutil.rmtree(idx_dir, ignore_errors=True)
+
+    out = {
+        "metric": "bench_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": results,
+        "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+        "build_docs_per_sec": round(docs_per_sec, 1),
+        "build_postings_per_sec": round(postings / build_s, 1),
+        "query_p95_ms": round(p95 * 1000, 1),
+        "n_bench_docs": manifest["n_docs"],
+        "cpus": CPUS,
+    }
+    if emit:
+        print(json.dumps(out))
+    if own_session:
+        spark.stop()
+    return out
+
+
+if __name__ == "__main__":
+    run()

@@ -193,5 +193,41 @@ def tokenize_series(texts: pd.Series, analyzer: str = "standard") -> pd.Series:
     return texts.map(lambda t: tokenize(t, analyzer))
 
 
+def tokenize_batch_flat(
+    texts: "pd.Series", analyzer: str = "standard"
+) -> "tuple[np.ndarray, np.ndarray]":
+    """Batch tokenize -> (parent_row_indices, tokens), both 1-D arrays.
+
+    Fast path: Arrow C++ kernels (utf8_lower + split_pattern_regex) when every
+    string is pure ASCII — byte-identical to `tokenize` there, since RE2's
+    ASCII \\w equals Python's unicode \\w on ASCII input. Non-ASCII batches
+    fall back to the frozen Python tokenizer so the contract never drifts.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    vals = texts.fillna("")
+    if analyzer == "standard" and all(s.isascii() for s in vals):
+        arr = pa.array(vals, type=pa.string())
+        lowered = pc.utf8_lower(arr)
+        split = pc.split_pattern_regex(lowered, r"[^0-9a-z_]+")
+        flat = pc.list_flatten(split)
+        parents = pc.list_parent_indices(split).to_numpy(zero_copy_only=False)
+        toks = flat.to_numpy(zero_copy_only=False)
+        keep = toks != ""
+        return parents[keep], toks[keep]
+    parents_l: list[int] = []
+    toks_l: list[str] = []
+    for i, s in enumerate(vals):
+        ts = tokenize(s, analyzer)
+        parents_l.extend([i] * len(ts))
+        toks_l.extend(ts)
+    return (
+        np.asarray(parents_l, dtype=np.int64),
+        np.asarray(toks_l, dtype=object),
+    )
+
+
 def term_frequencies(tokens: Iterable[str]) -> Counter:
     return Counter(tokens)

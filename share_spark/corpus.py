@@ -93,6 +93,53 @@ def make_web_pages(n: int, seed: int = 42) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+def make_web_pages_fast(n: int, seed: int = 42) -> pd.DataFrame:
+    """Vectorized bench-scale generator (no html wrapping, no per-row Python
+    beyond C-speed joins): same token distribution + planted classes as
+    make_web_pages, built for 10^5-10^6 rows."""
+    rng = np.random.default_rng(seed)
+    vocab = np.array(_vocab(), dtype=object)
+    ranks = np.arange(1, VOCAB_SIZE + 1, dtype=np.float64)
+    probs = (1.0 / ranks) / (1.0 / ranks).sum()
+
+    lengths = rng.integers(20, 120, size=n)
+    bounds = np.concatenate(([0], np.cumsum(lengths)))
+    flat = rng.choice(vocab, size=int(bounds[-1]), p=probs)
+    head_mask = rng.random((n, len(HEAD_TERMS))) < 0.35
+
+    texts = []
+    cls = np.arange(n) % 17
+    planted = {3: PHRASE_A, 5: PHRASE_B, 7: PHRASE_C}
+    for i in range(n):
+        toks = flat[bounds[i] : bounds[i + 1]]
+        s = " ".join(toks)
+        extra = [h for j, h in enumerate(HEAD_TERMS) if head_mask[i, j]]
+        if extra:
+            s = s + " " + " ".join(extra)
+        p = planted.get(int(cls[i]))
+        if p:
+            s = s + " " + p
+        texts.append(s)
+
+    idx = np.arange(n)
+    urls = pd.Series(idx % 97).astype(str).radd("https://site") + pd.Series(
+        idx
+    ).astype(str).radd(".example/page/")
+    base_ts = datetime(1999, 12, 31, tzinfo=timezone.utc)
+    return pd.DataFrame(
+        {
+            "doc_id": idx.astype(np.int64),
+            "url": urls,
+            "warc_ts": pd.Series(
+                [base_ts] * n
+            ) + pd.to_timedelta(idx * 7, unit="h"),
+            "html": None,
+            "text": texts,
+            "lang": "en",
+        }
+    )
+
+
 SUBJECT_POOL = [f"://subjects.example/s{i}" for i in range(50)]
 CREATOR_POOL = [f"://people.example/p{i}" for i in range(30)]
 

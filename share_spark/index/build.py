@@ -158,6 +158,8 @@ def build_docs(
     has_lang = "lang" in cols
 
     def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..analysis import tokenize_batch_flat
+
         for pdf in batches:
             html = pdf["html"] if has_html else pd.Series([None] * len(pdf))
             text = pdf["text"] if has_text else pd.Series([None] * len(pdf))
@@ -165,14 +167,17 @@ def build_docs(
                 extract_text(h, t)
                 for h, t in zip(html.tolist(), text.tolist())
             ]
-            dlen = [len(tokenize(s, analyzer)) for s in norm]
+            parents, _toks = tokenize_batch_flat(
+                pd.Series(norm, dtype="object"), analyzer
+            )
+            dlen = np.bincount(parents, minlength=len(norm)).astype("int32")
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"] if has_docid else pd.NA,
                     "url": pdf["url"] if has_url else "",
                     "lang": pdf["lang"] if has_lang else "",
                     "text_norm": norm,
-                    "doc_len": pd.Series(dlen, dtype="int32"),
+                    "doc_len": dlen,
                 }
             )
 
@@ -190,28 +195,26 @@ def build_termdoc(docs: DataFrame, analyzer: str) -> DataFrame:
     """
 
     def _count_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..analysis import tokenize_batch_flat
+
         for pdf in batches:
-            terms: list[str] = []
-            doc_ids: list[int] = []
-            tfs: list[int] = []
-            dls: list[int] = []
-            for doc_id, text, dl in zip(
-                pdf["doc_id"].tolist(), pdf["text_norm"].tolist(), pdf["doc_len"].tolist()
-            ):
-                toks = tokenize(text, analyzer)
-                if not toks:
-                    continue
-                arr, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
-                terms.extend(arr.tolist())
-                doc_ids.extend([doc_id] * len(arr))
-                tfs.extend(counts.tolist())
-                dls.extend([dl] * len(arr))
+            parents, toks = tokenize_batch_flat(pdf["text_norm"], analyzer)
+            if len(toks) == 0:
+                continue
+            # per-(doc, term) counts, all C-speed: hash-groupby in pandas
+            tf = (
+                pd.DataFrame({"p": parents, "term": toks})
+                .groupby(["p", "term"], sort=False)
+                .size()
+                .reset_index(name="tf")
+            )
+            p = tf["p"].to_numpy()
             yield pd.DataFrame(
                 {
-                    "term": pd.Series(terms, dtype="object"),
-                    "doc_id": pd.Series(doc_ids, dtype="int64"),
-                    "tf": pd.Series(tfs, dtype="int32"),
-                    "dl": pd.Series(dls, dtype="int32"),
+                    "term": tf["term"],
+                    "doc_id": pdf["doc_id"].to_numpy()[p],
+                    "tf": tf["tf"].astype("int32"),
+                    "dl": pdf["doc_len"].to_numpy()[p].astype("int32"),
                 }
             )
 
@@ -381,14 +384,12 @@ def build_index(
         _mark_done(gdir, "postings")
 
     # manifest: config checksum + corpus stats + per-partition lineage/metrics
+    # (ONE job over posting metadata; n_chunks is the exact count for dense
+    # doc ids — (max_doc // chunk_docs) + 1 — and a safe upper bound for
+    # sparse ids, which pushes the query planner to the two-phase plan)
     postings = spark.read.parquet(postings_path)
-    part_metrics = {
-        str(r["part_id"]): {
-            "n_blocks": int(r["n_blocks"]),
-            "n_postings": int(r["n_postings"]),
-            "encoded_bytes": int(r["encoded_bytes"]),
-        }
-        for r in postings.groupBy("part_id")
+    part_rows = (
+        postings.groupBy("part_id")
         .agg(
             F.count("*").alias("n_blocks"),
             F.sum("n").alias("n_postings"),
@@ -397,9 +398,20 @@ def build_index(
                 + F.octet_length("tfs_bin")
                 + F.octet_length("dls_bin")
             ).alias("encoded_bytes"),
+            F.max("last_doc").alias("max_doc"),
         )
         .collect()
+    )
+    part_metrics = {
+        str(r["part_id"]): {
+            "n_blocks": int(r["n_blocks"]),
+            "n_postings": int(r["n_postings"]),
+            "encoded_bytes": int(r["encoded_bytes"]),
+        }
+        for r in part_rows
     }
+    max_doc = max((int(r["max_doc"]) for r in part_rows), default=0)
+    n_chunks = max_doc // cfg.chunk_docs + 1
     n_terms = spark.read.parquet(stats_path).count()
     gen_manifest = {
         "generation": generation,
@@ -412,6 +424,7 @@ def build_index(
         "n_docs": n_docs,
         "avgdl": avgdl,
         "n_terms": int(n_terms),
+        "n_chunks": int(n_chunks),
         "partitions": part_metrics,
     }
     with open(os.path.join(gdir, "manifest.json"), "w") as f:
@@ -439,6 +452,7 @@ class IndexReader:
     index_dir: str
     manifest: dict = field(default_factory=dict)
     gen_manifests: list[dict] = field(default_factory=list)
+    _df_cache: dict = field(default_factory=dict)
 
     @classmethod
     def open(cls, spark: SparkSession, index_dir: str) -> "IndexReader":
@@ -451,11 +465,13 @@ class IndexReader:
         return cls(spark, index_dir, manifest, gens)
 
     def _union(self, stage: str) -> DataFrame:
-        paths = [
-            os.path.join(self.index_dir, f"gen{g['generation']}", stage)
-            for g in self.gen_manifests
-        ]
-        return self.spark.read.parquet(*paths)
+        if stage not in self._df_cache:
+            paths = [
+                os.path.join(self.index_dir, f"gen{g['generation']}", stage)
+                for g in self.gen_manifests
+            ]
+            self._df_cache[stage] = self.spark.read.parquet(*paths)
+        return self._df_cache[stage]
 
     @property
     def k1(self) -> float:
@@ -472,6 +488,12 @@ class IndexReader:
     @property
     def n_docs(self) -> int:
         return sum(g["n_docs"] for g in self.gen_manifests)
+
+    @property
+    def n_chunks(self) -> int:
+        """Upper bound on distinct chunks (gens may overlap) — used by the
+        query planner to choose single- vs two-phase WAND."""
+        return sum(g.get("n_chunks", 1 << 30) for g in self.gen_manifests)
 
     @property
     def avgdl(self) -> float:

@@ -10,18 +10,22 @@ block-max WAND) maps onto Spark's execution model:
   across tasks.
 - **Conjunctive pruning** (the reference's AND-of-terms semantics,
   trovesearch_denorm.py:656-668): a chunk survives only if every positive
-  term has at least one block in it — computed as a metadata-only aggregation
-  (no posting bytes decoded).
+  term has at least one block in it — a metadata-only aggregation, no
+  posting bytes decoded.
 - **Block-max pruning**: each chunk's score upper bound is
   sum_t idf(t) * max(block max_impact of t in chunk), from block metadata
-  only. Two phases: (1) score the top-B chunks by bound -> threshold tau =
-  k-th best score; (2) score only remaining chunks with bound > tau. Both
-  phases are distributed (orderBy().limit() = TakeOrdered, applyInPandas per
-  chunk); the driver only ever sees B chunk ids and k scores, never postings.
+  only; idf comes from a broadcast join against the per-query term_stats
+  slice (the north rule's "broadcast term statistics"). Two phases:
+  (1) score the top-B chunks by bound -> threshold tau = k-th best score;
+  (2) score only remaining chunks with bound > tau — skipped entirely when
+  phase 1 already covered every eligible chunk.
+- Job economy: one metadata job (chunk bounds), one scoring job per phase.
+  The driver only ever sees <= B+1 chunk bounds and <= offset+k scored rows
+  per phase; per-phase top-n lists merge driver-side (any doc in the global
+  top-n is in its own phase's top-n).
 - Within a chunk, scoring is numpy-vectorized: sorted-array intersection for
-  AND semantics, searchsorted gathers, one BM25 expression per term in
-  sorted-term order (deterministic float accumulation, matching the frozen
-  oracle in tests/frozen_bm25.py).
+  AND semantics, searchsorted gathers, BM25 per term in sorted-term order
+  (deterministic float accumulation, matching tests/frozen_bm25.py).
 
 Rank identity vs the exact scorer (query/bm25.py) is asserted by
 tests/test_wand.py; tie-break is ascending doc_id throughout.
@@ -29,15 +33,12 @@ tests/test_wand.py; tie-break is ascending doc_id throughout.
 
 from __future__ import annotations
 
-from typing import Iterable
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..analysis import tokenize
 from ..index.build import IndexReader
 from ..index.codec import delta_decode, varint_decode
 from .bm25 import ParsedQuery, parse_query
@@ -49,9 +50,10 @@ CHUNK_SCORES_SCHEMA = T.StructType(
     ]
 )
 
+RESULT_SCHEMA = "doc_id long, score double, rank int"
+
 
 def _make_chunk_scorer(
-    idf_map: dict[str, float],
     pos_terms: tuple[str, ...],
     neg_terms: tuple[str, ...],
     k1: float,
@@ -61,24 +63,32 @@ def _make_chunk_scorer(
     tau: float,
     tombstones: np.ndarray | None = None,
 ):
-    """applyInPandas kernel: score one chunk's blocks, emit local top-n."""
+    """applyInPandas kernel: score one chunk's blocks, emit local top-n.
+
+    Rows carry an `idf` column (broadcast-joined per query); negative terms
+    have null idf and contribute only their doc ids."""
     pos_sorted = tuple(sorted(pos_terms))
     neg_set = frozenset(neg_terms)
 
     def score_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
-                              "score": pd.Series([], dtype="float64")})
-        # chunk-level block-max check against the running threshold
+        empty = pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "score": pd.Series([], dtype="float64"),
+            }
+        )
+        idf_of: dict[str, float] = {}
         per_term_max: dict[str, float] = {}
-        for t, mi in zip(pdf["term"], pdf["max_impact"]):
+        for t, mi, idf in zip(pdf["term"], pdf["max_impact"], pdf["idf"]):
             if t in neg_set:
                 continue
+            idf_of[t] = float(idf)
             if mi > per_term_max.get(t, 0.0):
                 per_term_max[t] = mi
         if len(per_term_max) < len(pos_sorted):
             return empty  # conjunctive: some positive term absent
-        bound = sum(idf_map[t] * m for t, m in per_term_max.items())
-        if bound <= tau:
+        bound = sum(idf_of[t] * m for t, m in per_term_max.items())
+        if bound < tau:  # ties kept: equal-score docs can win on doc_id
             return empty
 
         pdf = pdf.sort_values(["term", "first_doc"], kind="mergesort")
@@ -87,6 +97,9 @@ def _make_chunk_scorer(
             ids = np.concatenate([delta_decode(x) for x in grp["docs_bin"]]).astype(
                 np.int64
             )
+            if term in neg_set:
+                lists[term] = (ids, None, None)
+                continue
             tfs = np.concatenate([varint_decode(x) for x in grp["tfs_bin"]]).astype(
                 np.float64
             )
@@ -117,11 +130,8 @@ def _make_chunk_scorer(
             tf = tfs[pos]
             dl = dls[pos]
             impact = (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
-            scores += idf_map[t] * impact
-        if cand.shape[0] > n_keep:
-            order = np.lexsort((cand, -scores))[:n_keep]
-        else:
-            order = np.lexsort((cand, -scores))
+            scores += idf_of[t] * impact
+        order = np.lexsort((cand, -scores))[:n_keep]
         return pd.DataFrame({"doc_id": cand[order], "score": scores[order]})
 
     return score_chunk
@@ -132,11 +142,9 @@ def wand_topk(
     query_text: str,
     k: int = 13,
     offset: int = 0,
-    first_batch_chunks: int = 8,
+    first_batch_chunks: int = 16,
 ) -> DataFrame:
     """Block-max top-k; rank-identical to exact_topk. Returns doc_id, score, rank."""
-    from pyspark.sql import Window
-
     pq: ParsedQuery = parse_query(query_text, index.analyzer)
     if not pq.terms:
         raise ValueError("query has no positive terms")
@@ -149,29 +157,33 @@ def wand_topk(
     spark = index.spark
     n_keep = offset + k
     all_terms = list(dict.fromkeys(pq.terms + pq.neg_terms))
-    stats = {
-        r["term"]: int(r["df"])
-        for r in index.term_stats()
-        .filter(F.col("term").isin(all_terms))
-        .collect()
-    }
-    missing = [t for t in pq.terms if t not in stats]
-    if missing:
-        # a required term absent from the corpus -> empty result (AND)
-        return spark.createDataFrame(
-            [], "doc_id long, score double, rank int"
-        )
-    from .bm25 import idf as _idf
-
     n = index.n_docs
-    idf_map = {t: _idf(n, stats[t]) for t in pq.terms}
 
-    blocks = index.postings().filter(F.col("term").isin(all_terms)).select(
-        "term", "chunk", "first_doc", "n", "docs_bin", "tfs_bin", "dls_bin", "max_impact"
+    # per-query stats slice, idf in-plan; broadcast to the block join
+    stats = (
+        index.term_stats()
+        .filter(F.col("term").isin(list(pq.terms)))
+        .select(
+            "term",
+            F.log1p(
+                (F.lit(float(n)) - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ).alias("idf"),
+        )
     )
-    # tombstones must be excluded *inside* the chunk scorer (before the local
-    # top-n truncation), or a deleted doc could crowd out a live one. The set
-    # is small by construction — compaction bounds it (streaming/incremental).
+    blocks = (
+        index.postings()
+        .filter(F.col("term").isin(all_terms))
+        .select(
+            "term", "chunk", "first_doc", "docs_bin", "tfs_bin", "dls_bin",
+            "max_impact",
+        )
+        .join(F.broadcast(stats), "term", "left")
+    )
+
+    # tombstones are excluded *inside* the chunk scorer (before local top-n
+    # truncation) — a deleted doc must not crowd out a live one. The set is
+    # small by construction (compaction bounds it; streaming/incremental).
     tomb = index.tombstones()
     tomb_ids = (
         np.array([r["doc_id"] for r in tomb.collect()], dtype=np.int64)
@@ -179,52 +191,78 @@ def wand_topk(
         else None
     )
 
-    idf_expr = F.create_map(
-        *[x for t, v in idf_map.items() for x in (F.lit(t), F.lit(float(v)))]
-    )
-    pos_meta = blocks.filter(F.col("term").isin(list(pq.terms)))
+    def _score(chunk_ids_df: DataFrame | None, tau: float) -> list:
+        sel = blocks
+        if chunk_ids_df is not None:
+            sel = blocks.join(F.broadcast(chunk_ids_df), "chunk", "left_semi")
+        scorer = _make_chunk_scorer(
+            pq.terms, pq.neg_terms, index.k1, index.b, index.avgdl,
+            n_keep, tau, tomb_ids,
+        )
+        scored = sel.groupBy("chunk").applyInPandas(scorer, schema=CHUNK_SCORES_SCHEMA)
+        return (
+            scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(n_keep).collect()
+        )
+
+    # Adaptive plan: when the whole index has few chunks, the bounds pass
+    # costs more (an extra Spark job) than it can save — score every chunk
+    # in ONE job; the scorer's conjunctive check prunes per chunk anyway.
+    # At 10^8+ chunks (10^12 docs) the two-phase bounds pruning is the only
+    # viable plan. This is a metadata-only cost decision, no data scanned.
+    if index.n_chunks <= 4 * first_batch_chunks:
+        rows = _score(None, tau=0.0)
+        merged = [(int(r["doc_id"]), float(r["score"])) for r in rows]
+        page = [
+            (d, s, i + 1)
+            for i, (d, s) in enumerate(merged[:n_keep])
+            if i + 1 > offset
+        ]
+        return spark.createDataFrame(page, RESULT_SCHEMA)
+
+    # job 1 (metadata only): chunk upper bounds, conjunctive-pruned
     chunk_bounds = (
-        pos_meta.groupBy("chunk", "term")
-        .agg(F.max("max_impact").alias("mi"))
+        blocks.filter(F.col("idf").isNotNull())
+        .groupBy("chunk", "term")
+        .agg(F.max("max_impact").alias("mi"), F.first("idf").alias("idf"))
         .groupBy("chunk")
         .agg(
             F.count("*").alias("nt"),
-            F.sum(idf_expr[F.col("term")] * F.col("mi")).alias("bound"),
+            F.sum(F.col("idf") * F.col("mi")).alias("bound"),
         )
         .filter(F.col("nt") == len(pq.terms))
         .select("chunk", "bound")
     )
-
-    def _score_chunks(chunk_ids_df: DataFrame, tau: float) -> DataFrame:
-        sel = blocks.join(F.broadcast(chunk_ids_df), "chunk", "left_semi")
-        scorer = _make_chunk_scorer(
-            idf_map, pq.terms, pq.neg_terms, index.k1, index.b, index.avgdl,
-            n_keep, tau, tomb_ids,
-        )
-        return sel.groupBy("chunk").applyInPandas(scorer, schema=CHUNK_SCORES_SCHEMA)
-
-    # phase 1: best chunks by upper bound
-    first = chunk_bounds.orderBy(F.desc("bound")).limit(first_batch_chunks)
-    first_ids = [r["chunk"] for r in first.select("chunk").collect()]
-    if not first_ids:
-        return spark.createDataFrame([], "doc_id long, score double, rank int")
-    phase1 = _score_chunks(
-        spark.createDataFrame([(c,) for c in first_ids], "chunk long"), tau=0.0
-    ).cache()
-    top1 = phase1.orderBy(F.desc("score"), F.asc("doc_id")).limit(n_keep).collect()
-    tau = float(top1[-1]["score"]) if len(top1) >= n_keep else 0.0
-
-    # phase 2: remaining chunks that can still beat tau
-    rest = chunk_bounds.filter(
-        (~F.col("chunk").isin(first_ids)) & (F.col("bound") > tau)
-    ).select("chunk")
-    phase2 = _score_chunks(rest, tau=tau)
-
-    merged = phase1.unionByName(phase2)
-    topn = merged.orderBy(F.desc("score"), F.asc("doc_id")).limit(n_keep)
-    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-    return (
-        topn.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") > offset)
-        .select("doc_id", "score", "rank")
+    top_bounds = (
+        chunk_bounds.orderBy(F.desc("bound"), F.asc("chunk"))
+        .limit(first_batch_chunks + 1)
+        .collect()
     )
+    if not top_bounds:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    phase1_ids = [int(r["chunk"]) for r in top_bounds[:first_batch_chunks]]
+    exhausted = len(top_bounds) <= first_batch_chunks
+
+    # job 2: score best chunks
+    rows1 = _score(
+        spark.createDataFrame([(c,) for c in phase1_ids], "chunk long"), tau=0.0
+    )
+    merged = [(int(r["doc_id"]), float(r["score"])) for r in rows1]
+
+    if not exhausted:
+        tau = merged[n_keep - 1][1] if len(merged) >= n_keep else 0.0
+        # job 3: only chunks that can still beat tau. >= (not >): a chunk
+        # whose bound equals tau can still contain an exact score tie that
+        # wins on the doc_id tie-break.
+        rest = chunk_bounds.filter(
+            (~F.col("chunk").isin(phase1_ids)) & (F.col("bound") >= tau)
+        ).select("chunk")
+        rows2 = _score(rest, tau=tau)
+        merged += [(int(r["doc_id"]), float(r["score"])) for r in rows2]
+
+    merged.sort(key=lambda x: (-x[1], x[0]))
+    page = [
+        (d, s, i + 1)
+        for i, (d, s) in enumerate(merged[:n_keep])
+        if i + 1 > offset
+    ]
+    return spark.createDataFrame(page, RESULT_SCHEMA)

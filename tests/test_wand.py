@@ -46,6 +46,15 @@ def test_wand_query_set(built_index):
             assert abs(gs - es) < 1e-9
 
 
+def test_wand_two_phase_path_matches_exact(built_index):
+    """Force the two-phase bounds-pruned plan (first_batch_chunks=1) —
+    the plan used at real scale — and assert rank identity."""
+    for qtext, k in [("danger", 13), ("the data", 13), ("w00001 w00002", 101)]:
+        exact = _rows(exact_topk(built_index, qtext, k=k))
+        got = _rows(wand_topk(built_index, qtext, k=k, first_batch_chunks=1))
+        assert [(r, d) for r, d, _ in got] == [(r, d) for r, d, _ in exact], qtext
+
+
 def test_wand_offset(built_index):
     full = _rows(wand_topk(built_index, "the data", k=30))
     page = _rows(wand_topk(built_index, "the data", k=10, offset=10))
