@@ -465,12 +465,20 @@ class IndexReader:
         return cls(spark, index_dir, manifest, gens)
 
     def _union(self, stage: str) -> DataFrame:
+        """Union across generations with a `gen` provenance column (the
+        segment id — tombstones are generation-scoped, Lucene-style)."""
         if stage not in self._df_cache:
-            paths = [
-                os.path.join(self.index_dir, f"gen{g['generation']}", stage)
-                for g in self.gen_manifests
-            ]
-            self._df_cache[stage] = self.spark.read.parquet(*paths)
+            parts = []
+            for g in self.gen_manifests:
+                gen = g["generation"]
+                df = self.spark.read.parquet(
+                    os.path.join(self.index_dir, f"gen{gen}", stage)
+                ).withColumn("gen", F.lit(gen))
+                parts.append(df)
+            out = parts[0]
+            for df in parts[1:]:
+                out = out.unionByName(df)
+            self._df_cache[stage] = out
         return self._df_cache[stage]
 
     @property
@@ -510,13 +518,35 @@ class IndexReader:
 
     def term_stats(self) -> DataFrame:
         """Union across generations, re-aggregated (df/cf add)."""
-        df = self._union("term_stats")
+        df = self._union("term_stats").drop("gen")
         if len(self.gen_manifests) == 1:
             return df
         return df.groupBy("term").agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
 
     def tombstones(self) -> DataFrame | None:
+        """(doc_id, before_gen): the doc is dead in every generation
+        strictly below before_gen (a replacement tombstones only older
+        segments; expel uses before_gen = EXPEL_ALL). Collapsed to the max
+        before_gen per doc."""
         path = os.path.join(self.index_dir, "tombstones")
         if os.path.exists(path):
-            return self.spark.read.parquet(path)
+            return (
+                self.spark.read.parquet(path)
+                .groupBy("doc_id")
+                .agg(F.max("before_gen").alias("before_gen"))
+            )
         return None
+
+    def live_docs(self) -> DataFrame:
+        """docs() minus generation-superseded and expelled rows."""
+        docs = self.docs()
+        tomb = self.tombstones()
+        if tomb is None:
+            return docs
+        joined = docs.join(F.broadcast(tomb), "doc_id", "left")
+        return joined.filter(
+            F.col("before_gen").isNull() | (F.col("gen") >= F.col("before_gen"))
+        ).drop("before_gen")
+
+
+EXPEL_ALL = 1 << 30

@@ -41,6 +41,7 @@ POSTINGS_SCHEMA = T.StructType(
         T.StructField("doc_id", T.LongType()),
         T.StructField("tf", T.IntegerType()),
         T.StructField("dl", T.IntegerType()),
+        T.StructField("gen", T.IntegerType()),
     ]
 )
 
@@ -96,24 +97,31 @@ def idf(n_docs: int, df: int) -> float:
 def decode_blocks(blocks: DataFrame) -> DataFrame:
     """Posting blocks -> (term, doc_id, tf, dl) rows, vectorized decode."""
 
+    has_gen = "gen" in blocks.columns
+
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             terms: list[np.ndarray] = []
             ids: list[np.ndarray] = []
             tfs: list[np.ndarray] = []
             dls: list[np.ndarray] = []
-            for term, docs_bin, tfs_bin, dls_bin, n in zip(
-                pdf["term"], pdf["docs_bin"], pdf["tfs_bin"], pdf["dls_bin"], pdf["n"]
+            gens: list[np.ndarray] = []
+            gen_col = pdf["gen"] if has_gen else [0] * len(pdf)
+            for term, docs_bin, tfs_bin, dls_bin, gen in zip(
+                pdf["term"], pdf["docs_bin"], pdf["tfs_bin"], pdf["dls_bin"], gen_col
             ):
                 d = delta_decode(docs_bin)
                 terms.append(np.full(len(d), term, dtype=object))
                 ids.append(d.astype(np.int64))
                 tfs.append(varint_decode(tfs_bin).astype(np.int32))
                 dls.append(varint_decode(dls_bin).astype(np.int32))
+                gens.append(np.full(len(d), gen, dtype=np.int32))
             if not ids:
                 yield pd.DataFrame(
-                    {"term": [], "doc_id": [], "tf": [], "dl": []}
-                ).astype({"doc_id": "int64", "tf": "int32", "dl": "int32"})
+                    {"term": [], "doc_id": [], "tf": [], "dl": [], "gen": []}
+                ).astype(
+                    {"doc_id": "int64", "tf": "int32", "dl": "int32", "gen": "int32"}
+                )
                 continue
             yield pd.DataFrame(
                 {
@@ -121,10 +129,24 @@ def decode_blocks(blocks: DataFrame) -> DataFrame:
                     "doc_id": np.concatenate(ids),
                     "tf": np.concatenate(tfs),
                     "dl": np.concatenate(dls),
+                    "gen": np.concatenate(gens),
                 }
             )
 
     return blocks.mapInPandas(_decode, schema=POSTINGS_SCHEMA)
+
+
+def live_postings(index: IndexReader, terms: list[str]) -> DataFrame:
+    """Decoded posting rows for `terms`, with generation-scoped tombstones
+    applied: a row survives unless some tombstone has before_gen > row.gen."""
+    blocks = index.postings().filter(F.col("term").isin(terms))
+    rows = decode_blocks(blocks)
+    tomb = index.tombstones()
+    if tomb is not None:
+        rows = rows.join(F.broadcast(tomb), "doc_id", "left").filter(
+            F.col("before_gen").isNull() | (F.col("gen") >= F.col("before_gen"))
+        ).drop("before_gen")
+    return rows
 
 
 def term_idf_df(index: IndexReader, terms: tuple[str, ...]) -> DataFrame:
@@ -154,7 +176,7 @@ def _phrase_filter(index: IndexReader, candidates: DataFrame, pq: ParsedQuery) -
     needed = pq.phrases or pq.neg_phrases
     if not needed:
         return candidates
-    docs = index.docs().select("doc_id", "text_norm")
+    docs = index.live_docs().select("doc_id", "text_norm")
     joined = candidates.join(docs, "doc_id", "left")
     analyzer = index.analyzer
 
@@ -190,11 +212,7 @@ def exact_topk(
         raise ValueError("query has no positive terms")
     k1, b, avgdl = index.k1, index.b, index.avgdl
 
-    blocks = index.postings().filter(F.col("term").isin(list(pq.terms)))
-    postings = decode_blocks(blocks)
-    tomb = index.tombstones()
-    if tomb is not None:
-        postings = postings.join(F.broadcast(tomb), "doc_id", "left_anti")
+    postings = live_postings(index, list(pq.terms))
     stats = term_idf_df(index, pq.terms)
     scored = postings.join(F.broadcast(stats), "term")
     per_term = scored.withColumn(
@@ -214,8 +232,9 @@ def exact_topk(
     agg = agg.filter(F.col("n_terms_hit") == len(pq.terms)).drop("n_terms_hit")
 
     if pq.neg_terms:
-        neg_blocks = index.postings().filter(F.col("term").isin(list(pq.neg_terms)))
-        neg_docs = decode_blocks(neg_blocks).select("doc_id").distinct()
+        neg_docs = (
+            live_postings(index, list(pq.neg_terms)).select("doc_id").distinct()
+        )
         agg = agg.join(neg_docs, "doc_id", "left_anti")
     agg = _phrase_filter(index, agg, pq)
 

@@ -61,14 +61,23 @@ def _make_chunk_scorer(
     avgdl: float,
     n_keep: int,
     tau: float,
-    tombstones: np.ndarray | None = None,
+    tombstones: tuple[np.ndarray, np.ndarray] | None = None,
 ):
     """applyInPandas kernel: score one chunk's blocks, emit local top-n.
 
-    Rows carry an `idf` column (broadcast-joined per query); negative terms
-    have null idf and contribute only their doc ids."""
+    Rows carry an `idf` column (broadcast-joined per query) and a `gen`
+    segment id; tombstones = (doc_ids, before_gens) kill a doc only in
+    generations below its before_gen (Lucene per-segment deletes). Negative
+    terms have null idf and contribute only their doc ids."""
     pos_sorted = tuple(sorted(pos_terms))
     neg_set = frozenset(neg_terms)
+
+    def _gen_exclusions(gen: int) -> np.ndarray | None:
+        if tombstones is None:
+            return None
+        t_ids, t_gens = tombstones
+        excl = t_ids[t_gens > gen]
+        return excl if excl.size else None
 
     def score_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
@@ -91,22 +100,43 @@ def _make_chunk_scorer(
         if bound < tau:  # ties kept: equal-score docs can win on doc_id
             return empty
 
-        pdf = pdf.sort_values(["term", "first_doc"], kind="mergesort")
+        pdf = pdf.sort_values(["term", "gen", "first_doc"], kind="mergesort")
         lists: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
         for term, grp in pdf.groupby("term", sort=False):
-            ids = np.concatenate([delta_decode(x) for x in grp["docs_bin"]]).astype(
-                np.int64
-            )
-            if term in neg_set:
-                lists[term] = (ids, None, None)
+            p_ids, p_tfs, p_dls = [], [], []
+            is_neg = term in neg_set
+            for gen, g2 in grp.groupby("gen", sort=True):
+                ids = np.concatenate(
+                    [delta_decode(x) for x in g2["docs_bin"]]
+                ).astype(np.int64)
+                tfs = dls = None
+                if not is_neg:
+                    tfs = np.concatenate(
+                        [varint_decode(x) for x in g2["tfs_bin"]]
+                    ).astype(np.float64)
+                    dls = np.concatenate(
+                        [varint_decode(x) for x in g2["dls_bin"]]
+                    ).astype(np.float64)
+                excl = _gen_exclusions(int(gen))
+                if excl is not None:
+                    keep = ~np.isin(ids, excl)
+                    ids = ids[keep]
+                    if not is_neg:
+                        tfs, dls = tfs[keep], dls[keep]
+                p_ids.append(ids)
+                if not is_neg:
+                    p_tfs.append(tfs)
+                    p_dls.append(dls)
+            ids = np.concatenate(p_ids) if p_ids else np.empty(0, dtype=np.int64)
+            if is_neg:
+                lists[term] = (np.sort(ids), None, None)
                 continue
-            tfs = np.concatenate([varint_decode(x) for x in grp["tfs_bin"]]).astype(
-                np.float64
-            )
-            dls = np.concatenate([varint_decode(x) for x in grp["dls_bin"]]).astype(
-                np.float64
-            )
-            lists[term] = (ids, tfs, dls)
+            tfs = np.concatenate(p_tfs)
+            dls = np.concatenate(p_dls)
+            # after per-gen tombstoning each doc survives in exactly one
+            # generation; re-sort the merged list by doc_id
+            order = np.argsort(ids, kind="stable")
+            lists[term] = (ids[order], tfs[order], dls[order])
 
         # AND intersection, smallest list first
         cand = None
@@ -118,8 +148,6 @@ def _make_chunk_scorer(
         for t in neg_set:
             if t in lists:
                 cand = cand[~np.isin(cand, lists[t][0], assume_unique=True)]
-        if tombstones is not None and tombstones.size:
-            cand = cand[~np.isin(cand, tombstones)]
         if cand.size == 0:
             return empty
 
@@ -176,7 +204,7 @@ def wand_topk(
         .filter(F.col("term").isin(all_terms))
         .select(
             "term", "chunk", "first_doc", "docs_bin", "tfs_bin", "dls_bin",
-            "max_impact",
+            "max_impact", "gen",
         )
         .join(F.broadcast(stats), "term", "left")
     )
@@ -185,11 +213,13 @@ def wand_topk(
     # truncation) — a deleted doc must not crowd out a live one. The set is
     # small by construction (compaction bounds it; streaming/incremental).
     tomb = index.tombstones()
-    tomb_ids = (
-        np.array([r["doc_id"] for r in tomb.collect()], dtype=np.int64)
-        if tomb is not None
-        else None
-    )
+    tomb_ids = None
+    if tomb is not None:
+        rows = tomb.collect()
+        tomb_ids = (
+            np.array([r["doc_id"] for r in rows], dtype=np.int64),
+            np.array([r["before_gen"] for r in rows], dtype=np.int64),
+        )
 
     def _score(chunk_ids_df: DataFrame | None, tau: float) -> list:
         sel = blocks

@@ -1,0 +1,178 @@
+"""Incremental index maintenance — the Spark shape of SHARE's indexer daemon.
+
+The reference's incremental path is a RabbitMQ work queue: UPDATE_INDEXCARD
+messages per changed card, drained in chunks of 2000 by a daemon thread that
+bulk-writes to ES and then deletes stale value-docs (share/search/daemon.py,
+share/search/index_messenger.py:37-76, trovesearch_denorm.py:955-999).
+
+Here the same semantics are Lucene-segment-shaped (and transactional):
+
+- an incremental batch of changed pages becomes a NEW GENERATION — a full
+  mini-index (docs/termdoc/term_stats/postings) built by the same batch DAG,
+  registered in the top-level manifest.
+- re-ingested urls (same doc_id) in older generations are TOMBSTONED; query
+  paths anti-join/exclude tombstoned doc_ids (the analog of the reference's
+  delayed delete_by_query of stale value docs — but atomic, no 3s scrap
+  window).
+- BM25 stats: df/N from dead docs linger until compaction — exactly
+  Lucene's deleted-doc semantics; `compact()` rebuilds a single generation
+  from live docs and resets stats.
+- `watch_incremental` wires the same `apply_incremental` through Structured
+  Streaming's foreachBatch, giving at-least-once micro-batches over a file
+  source (the queue analog). Idempotence: a generation is named by its batch
+  id, and rebuilding the same generation overwrites it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..index.build import IndexConfig, IndexReader, build_index
+
+
+def _manifest(index_dir: str) -> dict:
+    with open(os.path.join(index_dir, "manifest.json")) as f:
+        return json.load(f)
+
+
+def apply_incremental(
+    spark: SparkSession,
+    index_dir: str,
+    changed_pages: DataFrame,
+    cfg: IndexConfig | None = None,
+    generation: int | None = None,
+) -> dict:
+    """Index a batch of new/changed pages as a new generation + tombstones.
+
+    Returns the new generation's manifest. The tombstone write and manifest
+    update happen after the generation build completes, so a crash mid-build
+    leaves the old index fully consistent (the new gen is invisible until
+    registered)."""
+    cfg = cfg or IndexConfig()
+    man = _manifest(index_dir)
+    if generation is None:
+        generation = max(man["generations"]) + 1
+
+    # doc ids being replaced (same derivation as build_docs: doc_id column
+    # if present, else xxhash64(url))
+    if "doc_id" in changed_pages.columns:
+        new_ids = changed_pages.select("doc_id")
+    else:
+        new_ids = changed_pages.select(F.xxhash64("url").alias("doc_id"))
+
+    gen_manifest = build_index(
+        spark, changed_pages, index_dir, cfg, generation=generation
+    )
+
+    # tombstone doc_ids that exist in OLDER generations: they die in every
+    # generation < this one (generation-scoped, so the new segment's copy of
+    # the doc stays live — Lucene per-segment deletes)
+    reader = IndexReader.open(spark, index_dir)
+    older_docs = [
+        g["generation"] for g in reader.gen_manifests if g["generation"] < generation
+    ]
+    if older_docs:
+        old_ids = (
+            spark.read.parquet(
+                *[os.path.join(index_dir, f"gen{g}", "docs") for g in older_docs]
+            )
+            .select("doc_id")
+            .join(new_ids, "doc_id", "left_semi")
+            .distinct()
+            .withColumn("before_gen", F.lit(generation))
+        )
+        _merge_tombstones(spark, index_dir, old_ids)
+    return gen_manifest
+
+
+def _merge_tombstones(spark: SparkSession, index_dir: str, new_rows: DataFrame) -> None:
+    tomb_path = os.path.join(index_dir, "tombstones")
+    merged = new_rows
+    if os.path.exists(tomb_path):
+        merged = spark.read.parquet(tomb_path).unionByName(new_rows)
+    merged = merged.groupBy("doc_id").agg(F.max("before_gen").alias("before_gen"))
+    tmp = tomb_path + "_new"
+    merged.write.mode("overwrite").parquet(tmp)
+    old_tmp = tomb_path + "_old"
+    if os.path.exists(tomb_path):
+        os.rename(tomb_path, old_tmp)
+    os.rename(tmp, tomb_path)
+    shutil.rmtree(old_tmp, ignore_errors=True)
+
+
+def expel(spark: SparkSession, index_dir: str, doc_ids: list[int]) -> None:
+    """Soft-delete documents in ALL generations (the reference's expel /
+    soft-delete tombstones, trove/digestive_tract.py:232-241,
+    trove/models/indexcard.py:215-233)."""
+    from ..index.build import EXPEL_ALL
+
+    new = spark.createDataFrame(
+        [(int(d), EXPEL_ALL) for d in doc_ids], "doc_id long, before_gen int"
+    )
+    _merge_tombstones(spark, index_dir, new)
+
+
+def compact(
+    spark: SparkSession, index_dir: str, cfg: IndexConfig | None = None
+) -> dict:
+    """Merge all generations into gen0: live docs only, fresh global stats.
+
+    The analog of both Lucene segment merging and the reference's
+    backfill-to-new-index + alias swap (elastic8.py:222-239): the new index
+    is built in a sibling directory and atomically swapped in."""
+    cfg = cfg or IndexConfig()
+    reader = IndexReader.open(spark, index_dir)
+    docs = reader.live_docs()
+    # tombstones normally leave exactly one live row per doc; belt and
+    # braces for crash windows between gen build and tombstone write
+    docs = docs.dropDuplicates(["doc_id"])
+    pages = docs.select(
+        "doc_id", "url", "lang", F.col("text_norm").alias("text")
+    )
+    new_dir = index_dir.rstrip("/") + "_compacting"
+    shutil.rmtree(new_dir, ignore_errors=True)
+    manifest = build_index(spark, pages, new_dir, cfg, generation=0)
+    old_dir = index_dir.rstrip("/") + "_old"
+    shutil.rmtree(old_dir, ignore_errors=True)
+    os.rename(index_dir, old_dir)
+    os.rename(new_dir, index_dir)
+    shutil.rmtree(old_dir, ignore_errors=True)
+    return manifest
+
+
+def watch_incremental(
+    spark: SparkSession,
+    pages_stream_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    cfg: IndexConfig | None = None,
+    schema=None,
+):
+    """Structured Streaming wiring: file-source micro-batches -> generations.
+
+    Each micro-batch calls apply_incremental with generation = base + batch
+    id (idempotent on replay: rebuilding a generation overwrites it).
+    Returns the StreamingQuery; caller owns awaitTermination/stop."""
+    cfg = cfg or IndexConfig()
+    base_gen = max(_manifest(index_dir)["generations"]) + 1
+
+    stream = spark.readStream.schema(schema).parquet(pages_stream_dir)
+
+    def _on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        apply_incremental(
+            spark, index_dir, batch_df, cfg, generation=base_gen + int(batch_id)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_on_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

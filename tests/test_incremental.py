@@ -1,0 +1,107 @@
+"""Incremental update / tombstone / compaction / streaming semantics.
+
+Mirrors the reference's deletion+update re-index invariants
+(_common_trovesearch_tests.py:64-102,167-208) on the generation-based index."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from share_spark.corpus import make_web_pages
+from share_spark.index.build import IndexConfig, IndexReader, build_index
+from share_spark.query.wand import wand_topk
+from share_spark.streaming.incremental import (
+    apply_incremental,
+    compact,
+    expel,
+    watch_incremental,
+)
+
+CFG = IndexConfig(block_size=32, chunk_docs=64)
+
+
+def _hits(idx, q, k=300):
+    return {r["doc_id"] for r in wand_topk(idx, q, k=k).collect()}
+
+
+@pytest.fixture()
+def base_index(spark, tmp_path):
+    pages = make_web_pages(120, seed=9)
+    d = str(tmp_path / "idx")
+    build_index(spark, spark.createDataFrame(pages), d, CFG)
+    return d, pages
+
+
+def test_update_replaces_and_old_content_disappears(spark, base_index):
+    d, pages = base_index
+    idx0 = IndexReader.open(spark, d)
+    target = sorted(_hits(idx0, "danger"))[0]  # a B/C-class doc
+    assert target is not None
+
+    changed = pages[pages.doc_id == target].copy()
+    changed["text"] = "entirely fresh replacement xylophone content"
+    changed["html"] = None
+    apply_incremental(spark, d, spark.createDataFrame(changed), CFG)
+
+    idx1 = IndexReader.open(spark, d)
+    assert target not in _hits(idx1, "danger")          # old content gone
+    assert _hits(idx1, "xylophone") == {target}         # new content found
+    # unchanged docs still searchable
+    assert _hits(idx1, "danger") == _hits(idx0, "danger") - {target}
+
+
+def test_expel_soft_delete(spark, base_index):
+    d, _ = base_index
+    idx0 = IndexReader.open(spark, d)
+    victims = sorted(_hits(idx0, "danger"))[:2]
+    expel(spark, d, victims)
+    idx1 = IndexReader.open(spark, d)
+    assert _hits(idx1, "danger") == _hits(idx0, "danger") - set(victims)
+
+
+def test_compact_equals_fresh_rebuild(spark, base_index, tmp_path):
+    d, pages = base_index
+    target = int(pages.iloc[5].doc_id)
+    changed = pages.iloc[[5]].copy()
+    changed["text"] = "compacted unique zebrafish terms"
+    changed["html"] = None
+    apply_incremental(spark, d, spark.createDataFrame(changed), CFG)
+    expel(spark, d, [int(pages.iloc[10].doc_id)])
+    compact(spark, d, CFG)
+
+    # fresh index over the equivalent corpus
+    fresh_pages = pages[pages.doc_id != pages.iloc[10].doc_id].copy()
+    fresh_pages.loc[fresh_pages.doc_id == target, "text"] = (
+        "compacted unique zebrafish terms"
+    )
+    fresh_pages.loc[fresh_pages.doc_id == target, "html"] = None
+    fd = str(tmp_path / "fresh")
+    build_index(spark, spark.createDataFrame(fresh_pages), fd, CFG)
+
+    idx_c = IndexReader.open(spark, d)
+    idx_f = IndexReader.open(spark, fd)
+    assert len(idx_c.gen_manifests) == 1
+    assert idx_c.n_docs == idx_f.n_docs
+    assert abs(idx_c.avgdl - idx_f.avgdl) < 1e-9
+    for q in ("danger", "zebrafish", "the data"):
+        got = [(r["rank"], r["doc_id"], round(r["score"], 9))
+               for r in wand_topk(idx_c, q, k=50).collect()]
+        want = [(r["rank"], r["doc_id"], round(r["score"], 9))
+                for r in wand_topk(idx_f, q, k=50).collect()]
+        assert got == want, q
+
+
+def test_streaming_foreachbatch(spark, base_index, tmp_path):
+    d, pages = base_index
+    stream_dir = str(tmp_path / "stream_in")
+    ckpt = str(tmp_path / "ckpt")
+    new = pages.iloc[[0]].copy()
+    new["text"] = "streamed quokka arrival"
+    new["html"] = None
+    sdf = spark.createDataFrame(new)
+    sdf.write.mode("overwrite").parquet(stream_dir)
+    q = watch_incremental(
+        spark, stream_dir, d, ckpt, CFG, schema=sdf.schema
+    )
+    q.awaitTermination(120)
+    idx = IndexReader.open(spark, d)
+    assert _hits(idx, "quokka") == {int(pages.iloc[0].doc_id)}
