@@ -58,13 +58,14 @@ def run(spark=None, emit=True) -> dict:
     pages = _cached_pages(spark)
 
     # --- index build throughput ------------------------------------------
-    idx_dir = tempfile.mkdtemp(prefix="bench_idx_")
+    scratch = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    idx_dir = tempfile.mkdtemp(prefix="bench_idx_", dir=scratch)
     t0 = time.time()
     manifest = build_index(
         spark,
         pages,
         idx_dir,
-        IndexConfig(block_size=128, chunk_docs=8192, n_partitions=CPUS),
+        IndexConfig(block_size=128, chunk_docs=8192, n_partitions=CPUS * 4),
     )
     build_s = time.time() - t0
     results["index_build"] = round(build_s, 3)

@@ -207,6 +207,11 @@ def tokenize_batch_flat(
     import pyarrow as pa
     import pyarrow.compute as pc
 
+    # one Spark worker per core already — keep Arrow kernels single-threaded
+    if pa.cpu_count() != 1:
+        pa.set_cpu_count(1)
+        pa.set_io_thread_count(1)
+
     vals = texts.fillna("")
     if analyzer == "standard" and all(s.isascii() for s in vals):
         arr = pa.array(vals, type=pa.string())

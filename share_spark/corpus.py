@@ -130,9 +130,8 @@ def make_web_pages_fast(n: int, seed: int = 42) -> pd.DataFrame:
         {
             "doc_id": idx.astype(np.int64),
             "url": urls,
-            "warc_ts": pd.Series(
-                [base_ts] * n
-            ) + pd.to_timedelta(idx * 7, unit="h"),
+            "warc_ts": pd.Series([base_ts] * n)
+            + pd.to_timedelta((idx * 7) % (24 * 365 * 20), unit="h"),
             "html": None,
             "text": texts,
             "lang": "en",

@@ -53,9 +53,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..analysis import tokenize
 from ..extract import EXTRACTOR_VERSION, extract_text
-from .codec import delta_encode, varint_encode
+from .codec import delta_encode_blocks, varint_encode_blocks
 
 K1_DEFAULT = 1.2  # Lucene BM25 defaults; the reference never overrides
 B_DEFAULT = 0.75  # `similarity` (SURVEY.md §2.5, BASELINE.md §A)
@@ -90,6 +89,7 @@ BLOCKS_SCHEMA = T.StructType(
         T.StructField("tfs_bin", T.BinaryType()),
         T.StructField("dls_bin", T.BinaryType()),
         T.StructField("max_impact", T.DoubleType()),
+        T.StructField("sum_tf", T.LongType()),
         T.StructField("part_id", T.IntegerType()),
     ]
 )
@@ -103,6 +103,7 @@ class IndexConfig:
     k1: float = K1_DEFAULT
     b: float = B_DEFAULT
     n_partitions: int | None = None
+    salt_chunks: int = 4  # shuffle-salt window = salt_chunks * chunk_docs
 
     def checksum(self) -> str:
         """Analog of CURRENT_STRATEGY_CHECKSUM (index_strategy/_base.py:47):
@@ -224,92 +225,117 @@ def build_termdoc(docs: DataFrame, analyzer: str) -> DataFrame:
 
 
 def _make_block_encoder(cfg: IndexConfig, avgdl: float):
-    """Posting-block encoder for one range partition.
+    """Posting-block encoder for one range partition — fully vectorized.
 
     Input arrives sorted by (term, doc_id); the iterator spans the whole
-    partition, so blocks are accumulated across Arrow batches with a carry.
-    Block boundaries: size limit, term change, or chunk boundary
+    partition, so the trailing (possibly unfinished) group is carried across
+    Arrow batches. Per accumulated super-batch:
+      1. group change points on (term, chunk) -> block starts (size-capped)
+      2. ONE varint pass per column, sliced per block by byte offsets
+      3. per-block max_impact via np.maximum.reduceat
+    No per-block numpy dispatch — the only Python-level loop is the final
+    bytes slicing (one cheap bytes[a:b] per block).
+    Block boundaries: size limit, term change, chunk boundary
     (chunk = doc_id // chunk_docs) — see module docstring.
     """
     k1, b, bs, chunk_docs = cfg.k1, cfg.b, cfg.block_size, cfg.chunk_docs
+    MIN_ROWS = 1 << 17  # accumulate small Arrow batches before encoding
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
 
         part_id = TaskContext.get().partitionId() if TaskContext.get() else -1
         carry: pd.DataFrame | None = None
-        out_rows: list[tuple] = []
 
-        def flush_group(term: str, chunk: int, ids, tfs, dls) -> None:
-            # ids/tfs/dls: numpy arrays for one (term, chunk) group, sorted
-            for s in range(0, len(ids), bs):
-                bi, bt, bd = ids[s : s + bs], tfs[s : s + bs], dls[s : s + bs]
-                tfd = bt.astype(np.float64)
-                dld = bd.astype(np.float64)
-                impact = (tfd * (k1 + 1.0)) / (
-                    tfd + k1 * (1.0 - b + b * dld / avgdl)
-                )
-                out_rows.append(
-                    (
-                        term,
-                        int(chunk),
-                        int(bi[0]),
-                        int(bi[-1]),
-                        int(len(bi)),
-                        delta_encode(bi),
-                        varint_encode(bt),
-                        varint_encode(bd),
-                        float(impact.max()),
-                        part_id,
-                    )
-                )
-
-        def process(pdf: pd.DataFrame, final: bool) -> None:
+        def process(pdf: pd.DataFrame, final: bool) -> pd.DataFrame | None:
             nonlocal carry
             if carry is not None:
                 pdf = pd.concat([carry, pdf], ignore_index=True)
                 carry = None
-            if len(pdf) == 0:
-                return
+            n = len(pdf)
+            if n == 0:
+                return None
             terms = pdf["term"].to_numpy()
             ids = pdf["doc_id"].to_numpy(dtype=np.int64)
             chunks = ids // chunk_docs
-            # group change points on (term, chunk)
-            change = np.empty(len(pdf), dtype=bool)
+            change = np.empty(n, dtype=bool)
             change[0] = True
             change[1:] = (terms[1:] != terms[:-1]) | (chunks[1:] != chunks[:-1])
-            starts = np.nonzero(change)[0]
-            ends = np.append(starts[1:], len(pdf))
-            last_full = len(starts) if final else len(starts) - 1
+            gstarts = np.nonzero(change)[0]
+            if not final:
+                if len(gstarts) <= 1:
+                    carry = pdf
+                    return None
+                cut = gstarts[-1]  # last (possibly unfinished) group carries
+                carry = pdf.iloc[cut:].reset_index(drop=True)
+                pdf = pdf.iloc[:cut]
+                n = cut
+                terms, ids, chunks = terms[:cut], ids[:cut], chunks[:cut]
+                gstarts = gstarts[:-1]
+            gends = np.append(gstarts[1:], n)
+            glens = gends - gstarts
+            # expand groups to size-capped blocks
+            nb = (glens + bs - 1) // bs
+            total = int(nb.sum())
+            gi = np.repeat(np.arange(len(gstarts)), nb)
+            within = np.arange(total) - np.repeat(
+                np.concatenate(([0], np.cumsum(nb[:-1]))), nb
+            )
+            bstarts = gstarts[gi] + within * bs
+            bends = np.minimum(bstarts + bs, gends[gi])
+
             tfs = pdf["tf"].to_numpy(dtype=np.int64)
             dls = pdf["dl"].to_numpy(dtype=np.int64)
-            for gi in range(last_full):
-                s, e = starts[gi], ends[gi]
-                flush_group(terms[s], chunks[s], ids[s:e], tfs[s:e], dls[s:e])
-            if not final and len(starts) > 0:
-                carry = pdf.iloc[starts[-1] :].reset_index(drop=True)
+            impact = (tfs * (k1 + 1.0)) / (
+                tfs + k1 * (1.0 - b + b * dls.astype(np.float64) / avgdl)
+            )
+            max_imp = np.maximum.reduceat(impact, bstarts)
+            sum_tf = np.add.reduceat(tfs, bstarts)
 
+            docs_bin = delta_encode_blocks(ids, bstarts, bends)
+            tfs_bin = varint_encode_blocks(tfs, bstarts, bends)
+            dls_bin = varint_encode_blocks(dls, bstarts, bends)
+            return pd.DataFrame(
+                {
+                    "term": terms[bstarts],
+                    "chunk": chunks[bstarts],
+                    "first_doc": ids[bstarts],
+                    "last_doc": ids[bends - 1],
+                    "n": (bends - bstarts).astype(np.int32),
+                    "docs_bin": docs_bin,
+                    "tfs_bin": tfs_bin,
+                    "dls_bin": dls_bin,
+                    "max_impact": max_imp,
+                    "sum_tf": sum_tf,
+                    "part_id": np.full(total, part_id, dtype=np.int32),
+                }
+            )
+
+        buf: list[pd.DataFrame] = []
+        buffered = 0
         for pdf in batches:
-            process(pdf, final=False)
-            if out_rows:
-                yield pd.DataFrame(
-                    out_rows,
-                    columns=[f.name for f in BLOCKS_SCHEMA.fields],
-                )
-                out_rows = []
-        process(
-            pd.DataFrame(
+            buf.append(pdf)
+            buffered += len(pdf)
+            if buffered >= MIN_ROWS:
+                out = process(pd.concat(buf, ignore_index=True), final=False)
+                buf, buffered = [], 0
+                if out is not None and len(out):
+                    yield out
+        tail = (
+            pd.concat(buf, ignore_index=True)
+            if buf
+            else pd.DataFrame(
                 {
                     "term": pd.Series([], dtype="object"),
                     "doc_id": pd.Series([], dtype="int64"),
                     "tf": pd.Series([], dtype="int64"),
                     "dl": pd.Series([], dtype="int64"),
                 }
-            ),
-            final=True,
+            )
         )
-        if out_rows:
-            yield pd.DataFrame(out_rows, columns=[f.name for f in BLOCKS_SCHEMA.fields])
+        out = process(tail, final=True)
+        if out is not None and len(out):
+            yield out
 
     return encode
 
@@ -327,12 +353,21 @@ def build_index(
     Analog of SHARE's backfill (share/models/index_backfill.py:148-188 +
     daemon bulk loop) collapsed into one deterministic Spark DAG.
     """
+    import time as _time
+
     cfg = cfg or IndexConfig()
     gdir = os.path.join(index_dir, f"gen{generation}")
     os.makedirs(gdir, exist_ok=True)
+    stage_s: dict[str, float] = {}
+    _t = _time.time()
+
+    def _lap(stage: str) -> None:
+        nonlocal _t
+        now = _time.time()
+        stage_s[stage] = round(now - _t, 2)
+        _t = now
 
     docs_path = _stage_dir(gdir, "docs")
-    termdoc_path = _stage_dir(gdir, "termdoc")
     stats_path = _stage_dir(gdir, "term_stats")
     postings_path = _stage_dir(gdir, "postings")
 
@@ -341,47 +376,64 @@ def build_index(
         docs = build_docs(spark, pages, cfg.analyzer)
         docs.write.mode("overwrite").parquet(docs_path)
         _mark_done(gdir, "docs")
+    _lap("docs")
     docs = spark.read.parquet(docs_path)
-
-    # stage 2: termdoc checkpoint (tokenize once; resume skips re-tokenizing)
-    if not (resume and _stage_done(gdir, "termdoc")):
-        build_termdoc(docs, cfg.analyzer).write.mode("overwrite").parquet(termdoc_path)
-        _mark_done(gdir, "termdoc")
-    termdoc = spark.read.parquet(termdoc_path)
-
-    # stage 3: corpus + term stats. groupBy(term) is skew-safe via Spark's
-    # partial aggregation; output sorted by term for parquet min/max pruning
-    # at query time (the "broadcast term statistics" of the north rule are
-    # looked up per-query from this sorted table).
-    if not (resume and _stage_done(gdir, "term_stats")):
-        stats_parts = max(4, spark.sparkContext.defaultParallelism // 2)
-        (
-            termdoc.groupBy("term")
-            .agg(F.count("*").alias("df"), F.sum("tf").alias("cf"))
-            .repartitionByRange(stats_parts, "term")
-            .sortWithinPartitions("term")
-            .write.mode("overwrite")
-            .parquet(stats_path)
-        )
-        _mark_done(gdir, "term_stats")
 
     row = docs.agg(
         F.count("*").alias("n_docs"), F.avg("doc_len").alias("avgdl")
     ).collect()[0]
     n_docs, avgdl = int(row["n_docs"]), float(row["avgdl"] or 0.0)
 
-    # stage 4: posting blocks. Range partitioning on (term, doc_id) = the
-    # explicit skew answer: hot terms split across consecutive partitions.
+    # stage 2: posting blocks, pipelined docs -> tokenize -> shuffle -> sort
+    # -> encode with NO intermediate materialization (per-posting rows exist
+    # only inside the one exchange; at 10^12 docs the avoided termdoc
+    # checkpoint is petabytes of IO).
+    #
+    # Skew/shuffle design (north rule: explicit salting for head terms):
+    # the shuffle key is hash(term, doc_id // window) — the doc-range window
+    # IS the salt. A head term present in every document contributes at most
+    # `window` rows per partition (hard bound, no sampling needed), while
+    # rare terms stay whole. Unlike repartitionByRange this needs no
+    # range-boundary sampling pass (which would re-run the entire tokenize
+    # upstream once more). Window is a multiple of chunk_docs, so chunk
+    # alignment (and therefore WAND correctness) is preserved; files remain
+    # term-sorted via sortWithinPartitions, so parquet row-group min/max
+    # stats still prune query-term scans.
     if not (resume and _stage_done(gdir, "postings")):
         n_parts = cfg.n_partitions or spark.sparkContext.defaultParallelism
+        window = cfg.chunk_docs * cfg.salt_chunks
+        termdoc = build_termdoc(docs, cfg.analyzer)
         (
-            termdoc.repartitionByRange(n_parts, "term", "doc_id")
+            termdoc.repartition(
+                n_parts,
+                F.xxhash64("term", (F.col("doc_id") / window).cast("long")),
+            )
             .sortWithinPartitions("term", "doc_id")
             .mapInPandas(_make_block_encoder(cfg, avgdl), schema=BLOCKS_SCHEMA)
             .write.mode("overwrite")
             .parquet(postings_path)
         )
         _mark_done(gdir, "postings")
+    _lap("postings")
+
+    # stage 3: term stats DERIVED FROM BLOCK METADATA — df = sum of block
+    # sizes per term, cf = sum of per-block tf sums; no posting bytes
+    # decoded, no second tokenize pass. Output sorted by term for parquet
+    # min/max pruning at query time (the per-query "broadcast term
+    # statistics" lookup of the north rule).
+    if not (resume and _stage_done(gdir, "term_stats")):
+        stats_parts = max(4, spark.sparkContext.defaultParallelism // 2)
+        (
+            spark.read.parquet(postings_path)
+            .groupBy("term")
+            .agg(F.sum("n").alias("df"), F.sum("sum_tf").alias("cf"))
+            .repartitionByRange(stats_parts, "term")
+            .sortWithinPartitions("term")
+            .write.mode("overwrite")
+            .parquet(stats_path)
+        )
+        _mark_done(gdir, "term_stats")
+    _lap("term_stats")
 
     # manifest: config checksum + corpus stats + per-partition lineage/metrics
     # (ONE job over posting metadata; n_chunks is the exact count for dense
@@ -425,6 +477,7 @@ def build_index(
         "avgdl": avgdl,
         "n_terms": int(n_terms),
         "n_chunks": int(n_chunks),
+        "stage_seconds": stage_s,
         "partitions": part_metrics,
     }
     with open(os.path.join(gdir, "manifest.json"), "w") as f:

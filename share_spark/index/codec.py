@@ -23,12 +23,15 @@ _MASK = np.uint64(0x7F)
 _CONT = np.uint8(0x80)
 
 
-def varint_encode(values: np.ndarray) -> bytes:
-    """LEB128-encode an array of non-negative ints (vectorized)."""
+def varint_encode_raw(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """LEB128-encode an array; returns (byte_buffer uint8, bytes_per_value).
+
+    The per-value byte counts let callers slice the buffer into sub-ranges
+    (grouped encoding) without re-encoding."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
     n = v.shape[0]
     if n == 0:
-        return b""
+        return np.empty(0, dtype=np.uint8), np.empty(0, dtype=np.int64)
     # bytes needed per value = ceil(bit_length / 7), minimum 1
     nbytes = np.ones(n, dtype=np.int64)
     tmp = v >> _U7
@@ -46,7 +49,41 @@ def varint_encode(values: np.ndarray) -> bytes:
         more = (nbytes[mask] > i + 1).astype(np.uint8)
         out[idx] = byte | (more << 7)
         cur[mask] = cur[mask] >> _U7
+    return out, nbytes
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode an array of non-negative ints (vectorized)."""
+    out, _ = varint_encode_raw(values)
     return out.tobytes()
+
+
+def varint_encode_blocks(
+    values: np.ndarray, block_starts: np.ndarray, block_ends: np.ndarray
+) -> list[bytes]:
+    """Encode the whole array ONCE, then slice per block — the grouped form
+    used by the posting-block encoder (no per-block numpy dispatch)."""
+    out, nbytes = varint_encode_raw(values)
+    offs = np.zeros(len(values) + 1, dtype=np.int64)
+    np.cumsum(nbytes, out=offs[1:])
+    buf = out.tobytes()
+    return [
+        buf[offs[s] : offs[e]] for s, e in zip(block_starts, block_ends)
+    ]
+
+
+def delta_encode_blocks(
+    doc_ids: np.ndarray, block_starts: np.ndarray, block_ends: np.ndarray
+) -> list[bytes]:
+    """Per-block delta encoding in one pass: gaps everywhere, absolute value
+    at each block start (blocks decode independently)."""
+    ids = np.ascontiguousarray(doc_ids, dtype=np.uint64)
+    gaps = np.empty_like(ids)
+    if len(ids):
+        gaps[0] = ids[0]
+        np.subtract(ids[1:], ids[:-1], out=gaps[1:])
+    gaps[block_starts] = ids[block_starts]
+    return varint_encode_blocks(gaps, block_starts, block_ends)
 
 
 def varint_decode(buf: bytes) -> np.ndarray:

@@ -1,0 +1,258 @@
+"""Query-string params -> frozen dataclasses -> DataFrame plan.
+
+The reference's querystring surface (trove/trovesearch/search_params.py):
+
+  cardSearchText[=...]            full-text, AND/phrase/negation specials
+  cardSearchText[path,...]        text scoped to propertypaths
+  cardSearchFilter[path][op]=v,v  structured filters
+  sort[=field] / sort=-field      value sort (date/int), desc with '-'
+  page[size] / page[cursor]       paging
+  valueSearchPropertyPath=...     valuesearch target path
+  valueSearchText / valueSearchFilter[...]...
+
+This module parses that surface into CardsearchParams/ValuesearchParams
+(frozen, the reference's IR #1, search_params.py:380-501) and compiles them
+against an IndexReader + doc_values table into DataFrame plans, reusing
+filters.py / bm25.py / wand.py / valuesearch.py / paging.py.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from urllib.parse import parse_qsl
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..index.build import IndexReader
+from .filters import SearchFilter
+from .paging import PageCursor, clamp_page_size
+from .valuesearch import date_histogram, value_counts
+
+_FILTER_RE = re.compile(r"^cardSearchFilter\[(.+)\]$")
+_VFILTER_RE = re.compile(r"^valueSearchFilter\[(.+)\]$")
+_OPS_SET = {
+    "any-of", "none-of", "is-present", "is-absent", "before", "after", "at-date",
+}
+_TEXT_RE = re.compile(r"^(cardSearchText|valueSearchText)(?:\[([^\]]*)\])?$")
+
+DEFAULT_OP = "any-of"
+
+
+@dataclass(frozen=True)
+class SortParam:
+    field: str
+    descending: bool = False
+
+
+@dataclass(frozen=True)
+class CardsearchParams:
+    """Frozen IR of a cardsearch request (search_params.py:380-445)."""
+
+    texts: tuple[str, ...] = ()
+    text_paths: tuple[str, ...] = ()  # () = all depth-1 text
+    filters: tuple[SearchFilter, ...] = ()
+    sort: SortParam | None = None
+    page_size: int = 13
+    cursor: PageCursor | None = None
+
+
+@dataclass(frozen=True)
+class ValuesearchParams:
+    value_path: str = ""
+    cardsearch: CardsearchParams = field(default_factory=CardsearchParams)
+    page_size: int = 13
+
+
+def _parse_filters(pairs, regex) -> list[SearchFilter]:
+    out = []
+    for key, val in pairs:
+        m = regex.match(key)
+        if not m:
+            continue
+        inner = m.group(1)
+        # the path may itself contain brackets (JSON-encoded propertypaths),
+        # so the operator is whatever follows the LAST '][' — and only if it
+        # is a known op (search_params.py:190-215 operator set)
+        if "][" in inner:
+            path, maybe_op = inner.rsplit("][", 1)
+            op = maybe_op if maybe_op in _OPS_SET else DEFAULT_OP
+            if maybe_op not in _OPS_SET:
+                path = inner
+        else:
+            path, op = inner, DEFAULT_OP
+        # propertypath shorthand: comma-separated path segments; multiple
+        # paths OR'd with ','-in-brackets is kept simple: one path per param
+        values = tuple(v for v in val.split(",") if v != "")
+        glob_depth = None
+        if path == "*" or set(path) == {"*"}:
+            glob_depth = max(1, path.count("*"))
+            paths = ()
+        else:
+            paths = (path,)
+        out.append(
+            SearchFilter(paths=paths, op=op, values=values, glob_depth=glob_depth)
+        )
+    return out
+
+
+def parse_cardsearch(querystring: str) -> CardsearchParams:
+    pairs = parse_qsl(querystring, keep_blank_values=True)
+    texts: list[str] = []
+    text_paths: list[str] = []
+    sort = None
+    page_size = 13
+    cursor = None
+    for key, val in pairs:
+        tm = _TEXT_RE.match(key)
+        if tm and tm.group(1) == "cardSearchText":
+            if val:
+                texts.append(val)
+            if tm.group(2):
+                for p in tm.group(2).split(","):
+                    if p and p != "*":
+                        text_paths.append(p)
+        elif key == "sort":
+            if val and val not in ("-relevance", "relevance"):  # no-op parity
+                desc = val.startswith("-")
+                sort = SortParam(val.lstrip("-"), desc)
+        elif key == "page[size]":
+            page_size = clamp_page_size(int(val))
+        elif key == "page[cursor]":
+            cursor = PageCursor.decode(val)
+    filters = _parse_filters(pairs, _FILTER_RE)
+    return CardsearchParams(
+        texts=tuple(texts),
+        text_paths=tuple(text_paths),
+        filters=tuple(filters),
+        sort=sort,
+        page_size=page_size,
+        cursor=cursor,
+    )
+
+
+def parse_valuesearch(querystring: str) -> ValuesearchParams:
+    pairs = parse_qsl(querystring, keep_blank_values=True)
+    vpath = ""
+    page_size = 13
+    for key, val in pairs:
+        if key == "valueSearchPropertyPath":
+            vpath = val
+        elif key == "page[size]":
+            page_size = clamp_page_size(int(val))
+    return ValuesearchParams(
+        value_path=vpath,
+        cardsearch=parse_cardsearch(querystring),
+        page_size=page_size,
+    )
+
+
+def compile_cardsearch(
+    params: CardsearchParams,
+    index: IndexReader,
+    doc_values: DataFrame | None = None,
+) -> DataFrame:
+    """CardsearchParams -> result DataFrame (doc_id [, score] [, rank]).
+
+    Text present -> relevance ranking via WAND (filters applied as semi/anti
+    joins on the candidate set); no text -> filter-sort-page plan.
+    """
+    from .filters import apply_filters
+    from .wand import wand_topk
+
+    offset = 0
+    if params.cursor and params.cursor.type_key == "offset" and params.cursor.args:
+        offset = int(params.cursor.args[0])
+
+    if params.texts:
+        # multiple cardSearchText params AND together (search_params.py:656-668
+        # analog): concatenate — parse_query gives AND-of-terms semantics
+        qtext = " ".join(params.texts)
+        if params.filters:
+            if doc_values is None:
+                raise ValueError("filters require a doc_values table")
+            # overfetch then semi-join filters, preserving relevance rank
+            raw = wand_topk(index, qtext, k=(offset + params.page_size) * 4)
+            docs = apply_filters(
+                raw, doc_values, list(params.filters)
+            )
+            return (
+                docs.orderBy(F.asc("rank"))
+                .limit(offset + params.page_size)
+                .filter(F.col("rank") > offset)
+            )
+        return wand_topk(index, qtext, k=params.page_size, offset=offset)
+
+    docs = index.live_docs().select("doc_id")
+    if params.filters:
+        if doc_values is None:
+            raise ValueError("filters require a doc_values table")
+        docs = apply_filters(docs, doc_values, list(params.filters))
+    if params.sort:
+        if doc_values is None:
+            raise ValueError("sort requires a doc_values table")
+        sort_vals = doc_values.filter(
+            F.col("path_key") == params.sort.field
+        ).select(
+            "doc_id",
+            F.coalesce(
+                F.col("date_value").cast("string"),
+                F.col("int_value").cast("string"),
+            ).alias("_sv"),
+        )
+        docs = docs.join(sort_vals, "doc_id", "left")
+        primary = (
+            F.desc_nulls_last("_sv") if params.sort.descending else F.asc_nulls_last("_sv")
+        )
+        ordered = docs.orderBy(primary, F.asc("doc_id"))
+    else:
+        ordered = docs.orderBy(F.asc("doc_id"))
+    out = ordered.limit(offset + params.page_size)
+    if offset:
+        from pyspark.sql import Window
+
+        w = Window.orderBy(
+            *(
+                [primary, F.asc("doc_id")] if params.sort else [F.asc("doc_id")]
+            )
+        )
+        out = (
+            out.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") > offset)
+            .drop("_rn")
+        )
+    return out.drop("_sv") if params.sort else out
+
+
+def compile_valuesearch(
+    params: ValuesearchParams,
+    index: IndexReader,
+    doc_values: DataFrame,
+) -> DataFrame:
+    """Dispatch on date-vs-iri property (trovesearch_denorm.py:306-329)."""
+    from .filters import apply_filters
+
+    card_docs = None
+    if params.cardsearch.filters or params.cardsearch.texts:
+        card_docs = compile_cardsearch(
+            CardsearchParams(
+                texts=params.cardsearch.texts,
+                filters=params.cardsearch.filters,
+                page_size=10_000,
+            ),
+            index,
+            doc_values,
+        )
+    probe = doc_values.filter(F.col("path_key") == params.value_path).limit(1).collect()
+    is_date = bool(probe) and probe[0]["date_value"] is not None
+    if is_date:
+        return date_histogram(
+            doc_values, [params.value_path], card_filter_docs=card_docs
+        )
+    return value_counts(
+        doc_values,
+        [params.value_path],
+        card_filter_docs=card_docs,
+        page_size=params.page_size,
+    )

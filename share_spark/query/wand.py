@@ -239,7 +239,10 @@ def wand_topk(
     # in ONE job; the scorer's conjunctive check prunes per chunk anyway.
     # At 10^8+ chunks (10^12 docs) the two-phase bounds pruning is the only
     # viable plan. This is a metadata-only cost decision, no data scanned.
-    if index.n_chunks <= 4 * first_batch_chunks:
+    # Cutover tuned empirically: per-Spark-job overhead (~0.3-0.5 s) means
+    # the bounds job + second scoring job only pay off once they can prune
+    # hundreds of chunks; below that, one job scoring every chunk wins.
+    if index.n_chunks <= 8 * first_batch_chunks:
         rows = _score(None, tau=0.0)
         merged = [(int(r["doc_id"]), float(r["score"])) for r in rows]
         page = [

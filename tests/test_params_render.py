@@ -1,0 +1,134 @@
+"""Query-param surface, renderers, highlights."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from share_spark import render
+from share_spark.corpus import make_doc_values
+from share_spark.query.highlight import make_snippet, with_highlights
+from share_spark.query.paging import PageCursor
+from share_spark.query.params import (
+    CardsearchParams,
+    compile_cardsearch,
+    compile_valuesearch,
+    parse_cardsearch,
+    parse_valuesearch,
+)
+from share_spark.query.wand import wand_topk
+
+SUBJ = '["dcterms:subject"]'
+CREATED = '["dcterms:created"]'
+
+
+@pytest.fixture(scope="module")
+def dv(spark, pages_pdf):
+    return spark.createDataFrame(make_doc_values(pages_pdf)).cache()
+
+
+def test_parse_cardsearch_full_surface():
+    qs = (
+        "cardSearchText=danger%20-warning"
+        f"&cardSearchFilter[{SUBJ}][any-of]=https://subjects.example/s0/"
+        f"&cardSearchFilter[{CREATED}][after]=1999"
+        "&sort=-dateCreated&page[size]=7"
+    )
+    p = parse_cardsearch(qs)
+    assert p.texts == ("danger -warning",)
+    assert len(p.filters) == 2
+    ops = {f.op for f in p.filters}
+    assert ops == {"any-of", "after"}
+    assert p.sort.field == "dateCreated" and p.sort.descending
+    assert p.page_size == 7
+
+
+def test_parse_sort_relevance_noop():
+    p = parse_cardsearch("cardSearchText=x&sort=-relevance")
+    assert p.sort is None  # search_params.py:328-329 parity
+
+
+def test_compile_text_search_matches_wand(built_index):
+    p = parse_cardsearch("cardSearchText=danger&page[size]=13")
+    got = [r["doc_id"] for r in compile_cardsearch(p, built_index).collect()]
+    want = [r["doc_id"] for r in wand_topk(built_index, "danger", k=13).collect()]
+    assert got == want
+
+
+def test_compile_filter_only(built_index, dv, pages_pdf):
+    qs = f"cardSearchFilter[{SUBJ}][any-of]=https://subjects.example/s0/&page[size]=101"
+    p = parse_cardsearch(qs)
+    got = {r["doc_id"] for r in compile_cardsearch(p, built_index, dv).collect()}
+    dvp = make_doc_values(pages_pdf)
+    want = set(
+        dvp[
+            (dvp.path_key == SUBJ)
+            & (dvp.iri_value.fillna("").str.rstrip("/") == "://subjects.example/s0")
+        ]["doc_id"]
+    )
+    assert got == want
+
+
+def test_compile_text_plus_filter(built_index, dv):
+    qs = f"cardSearchText=danger&cardSearchFilter[{CREATED}][after]=1999"
+    p = parse_cardsearch(qs)
+    out = compile_cardsearch(p, built_index, dv).collect()
+    assert out  # non-degenerate
+    unfiltered = {r["doc_id"] for r in wand_topk(built_index, "danger", k=300).collect()}
+    assert {r["doc_id"] for r in out} <= unfiltered
+    ranks = [r["rank"] for r in out]
+    assert ranks == sorted(ranks)
+
+
+def test_compile_offset_cursor(built_index):
+    c = PageCursor("offset", [13]).encode()
+    p = parse_cardsearch(f"cardSearchText=the&page[cursor]={c}&page[size]=13")
+    page2 = [r["doc_id"] for r in compile_cardsearch(p, built_index).collect()]
+    full = [r["doc_id"] for r in wand_topk(built_index, "the", k=26).collect()]
+    assert page2 == full[13:26]
+
+
+def test_compile_valuesearch_iri_and_date(built_index, dv):
+    p = parse_valuesearch(f"valueSearchPropertyPath={SUBJ}&page[size]=5")
+    vals = compile_valuesearch(p, built_index, dv).collect()
+    assert vals and vals[0]["match_count"] >= vals[-1]["match_count"]
+    pd_ = parse_valuesearch(f"valueSearchPropertyPath={CREATED}")
+    hist = compile_valuesearch(pd_, built_index, dv).collect()
+    assert hist and "year" in hist[0].asDict()
+
+
+def test_csv_render(spark):
+    df = spark.createDataFrame(
+        [(1, ["a", "b"], "x"), (2, [], None)], "id long, tags array<string>, t string"
+    )
+    out = render.to_csv(df)
+    lines = out.strip().splitlines()
+    assert lines[0] == "id,tags,t"
+    assert lines[1] == "1,a ; b,x"
+    tsv = render.to_tsv(df)
+    assert tsv.splitlines()[0] == "id\ttags\tt"
+
+
+def test_jsonapi_render(spark):
+    df = spark.createDataFrame([(5, 0.9)], "doc_id long, score double")
+    doc = render.to_jsonapi(df, "index-card-search-result", "doc_id", total=1)
+    assert doc["data"][0]["type"] == "index-card-search-result"
+    assert doc["data"][0]["id"] == "5"
+    assert doc["meta"]["total"] == 1
+
+
+def test_value_key_preference():
+    assert render.pick_preferred_value({"label": "c", "name": "b", "@id": "a"}) == "a"
+    assert render.pick_preferred_value({"label": "c"}) == "c"
+
+
+def test_make_snippet():
+    frags = make_snippet("a b danger c d", {"danger"}, window=1)
+    assert frags == ["b <em>danger</em> c"]
+    assert make_snippet("nothing here", {"zzz"}) == []
+
+
+def test_with_highlights(built_index):
+    res = wand_topk(built_index, "danger", k=3)
+    hl = with_highlights(built_index, res, "danger").collect()
+    assert len(hl) == 3
+    for r in hl:
+        assert any("<em>danger</em>" in f for f in r["highlights"])
