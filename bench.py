@@ -91,16 +91,19 @@ def run(spark=None, emit=True) -> dict:
     # --- pipeline ops over the driver tables ------------------------------
     from share_spark.queries import QUERIES
 
-    for name in (
-        "ft_bm25_topk",
-        "dedup_minhash_lsh",
-        "dedup_simhash",
-        "knn_bruteforce",
-        "term_stats_top",
-        "text_quality",
+    # top-k ops: collect (tiny results); table ops: count (the action drives
+    # the full computation; collecting millions of pairs would bench the
+    # driver's deserializer, not the engine)
+    for name, action in (
+        ("ft_bm25_topk", "collect"),
+        ("knn_bruteforce", "collect"),
+        ("term_stats_top", "collect"),
+        ("dedup_minhash_lsh", "count"),
+        ("dedup_simhash", "count"),
+        ("text_quality", "count"),
     ):
         t0 = time.time()
-        QUERIES[name](spark, SF_DIR).collect()
+        getattr(QUERIES[name](spark, SF_DIR), action)()
         results[name] = round(time.time() - t0, 3)
 
     total = round(time.time() - t_total, 3)
