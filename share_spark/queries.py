@@ -296,6 +296,33 @@ def _feed_recent(spark, sf_dir):
     )
 
 
+def _total_saturating(spark, sf_dir):
+    """hits.total parity: exact count saturating at 10k with eq/gte relation
+    (trovesearch_denorm.py:553-560, page_cursor.py:15-16)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.least(F.count("*"), F.lit(10000)).alias("total"),
+        F.when(F.count("*") > 10000, F.lit("gte")).otherwise(F.lit("eq")).alias(
+            "relation"
+        ),
+    )
+
+
+def _running_value_sum(spark, sf_dir):
+    """Windowed running aggregate per user over the event stream."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        ev.withColumn("running_value", F.round(F.sum("value").over(w), 4))
+        .filter(F.col("user_id") < 20)
+        .select("user_id", "event_id", "running_value")
+    )
+
+
 def _latest_event_per_user(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.asc("event_id"))
@@ -428,6 +455,8 @@ QUERIES = {
     "oai_keyset": _oai_keyset,
     "feed_recent": _feed_recent,
     "latest_event_per_user": _latest_event_per_user,
+    "total_saturating": _total_saturating,
+    "running_value_sum": _running_value_sum,
     # dedup / text pipeline
     "dedup_fingerprint": _dedup_fingerprint,
     "dedup_jaccard3": _dedup_jaccard,
@@ -653,6 +682,19 @@ ORACLES = {
                                     ORDER BY ts DESC, event_id) AS rn
           FROM events
         ) WHERE rn = 1
+    """,
+    "total_saturating": """
+        SELECT least(count(*), 10000) AS total,
+               CASE WHEN count(*) > 10000 THEN 'gte' ELSE 'eq' END AS relation
+        FROM lineitem
+    """,
+    "running_value_sum": """
+        SELECT user_id, event_id,
+               round(sum(value) OVER (PARTITION BY user_id
+                     ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+                 AS running_value
+        FROM events WHERE user_id < 20
     """,
     "dedup_fingerprint":
         "SELECT doc_id, md5(text) AS fingerprint FROM documents",
