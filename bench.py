@@ -88,6 +88,21 @@ def run(spark=None, emit=True) -> dict:
     results["query_p50"] = round(p50, 3)
     results["query_p95"] = round(p95, 3)
 
+    # concurrent throughput: a search tier runs many queries at once; the
+    # Spark scheduler overlaps their jobs, amortizing per-job latency
+    from concurrent.futures import ThreadPoolExecutor
+
+    t0 = time.time()
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        list(
+            pool.map(
+                lambda q: wand_topk(idx, q["query_text"], k=q["k"]).collect(),
+                queries,
+            )
+        )
+    qps_wall = time.time() - t0
+    results["query_concurrent_qps"] = round(len(queries) / qps_wall, 2)
+
     # --- pipeline ops over the driver tables ------------------------------
     from share_spark.queries import QUERIES
 

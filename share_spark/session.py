@@ -58,6 +58,9 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # FAIR lets concurrent queries' stages interleave (a search tier
+        # serves many queries at once; FIFO would serialize whole jobs)
+        .config("spark.scheduler.mode", "FAIR")
         # ParallelGC beats G1 ~4x on this batch workload at high thread
         # counts (measured: 500k-doc index build at local[32] 117s -> 30s):
         # G1's concurrent marking burns cores the tasks need. Throughput
