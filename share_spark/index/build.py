@@ -65,6 +65,10 @@ TERMDOC_SCHEMA = T.StructType(
         T.StructField("doc_id", T.LongType()),
         T.StructField("tf", T.IntegerType()),
         T.StructField("dl", T.IntegerType()),
+        # in-document token positions of this term, delta+varint encoded
+        # (first absolute, then gaps) — the positional index that makes
+        # phrase queries an index operation instead of a stored-text rescan
+        T.StructField("pos_bin", T.BinaryType()),
     ]
 )
 
@@ -73,10 +77,17 @@ DOCS_SCHEMA = T.StructType(
         T.StructField("doc_id", T.LongType()),
         T.StructField("url", T.StringType()),
         T.StructField("lang", T.StringType()),
+        # propertypath scope of this text ('' = whole-document text). When
+        # set, index terms are prefixed '<path_key>\x1f<token>' so df/idf
+        # resolve per (path, term) — the Lucene-per-field stats analog that
+        # makes cardSearchText[path] an index operation (query/fields.py).
+        T.StructField("path_key", T.StringType()),
         T.StructField("text_norm", T.StringType()),
         T.StructField("doc_len", T.IntegerType()),
     ]
 )
+
+FIELD_SEP = "\x1f"  # never produced by the analyzer (non-word char)
 
 BLOCKS_SCHEMA = T.StructType(
     [
@@ -88,7 +99,18 @@ BLOCKS_SCHEMA = T.StructType(
         T.StructField("docs_bin", T.BinaryType()),
         T.StructField("tfs_bin", T.BinaryType()),
         T.StructField("dls_bin", T.BinaryType()),
-        T.StructField("max_impact", T.DoubleType()),
+        # concatenated positional runs: posting i's positions are tf_i
+        # delta+varint values; runs concatenate in posting order
+        T.StructField("pos_bin", T.BinaryType()),
+        # avgdl-INDEPENDENT block-max metadata: impact is increasing in tf
+        # and decreasing in dl, so impact(max_tf, min_dl, avgdl_q) computed
+        # with the QUERY-TIME global avgdl upper-bounds every posting in the
+        # block. A build-time max_impact baked with the generation's own
+        # avgdl under-bounds true impact once later generations raise the
+        # global avgdl, which would let block-max pruning drop true top-k
+        # docs (multi-generation rank-identity bug).
+        T.StructField("max_tf", T.IntegerType()),
+        T.StructField("min_dl", T.IntegerType()),
         T.StructField("sum_tf", T.LongType()),
         T.StructField("part_id", T.IntegerType()),
     ]
@@ -116,7 +138,7 @@ class IndexConfig:
                 "k1": self.k1,
                 "b": self.b,
                 "extractor_version": EXTRACTOR_VERSION,
-                "layout": "delta-varint-blocks-v1",
+                "layout": "delta-varint-blocks-v2-pos",
             },
             sort_keys=True,
         )
@@ -157,6 +179,7 @@ def build_docs(
     has_docid = "doc_id" in cols
     has_url = "url" in cols
     has_lang = "lang" in cols
+    has_path = "path_key" in cols
 
     def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..analysis import tokenize_batch_flat
@@ -177,6 +200,7 @@ def build_docs(
                     "doc_id": pdf["doc_id"] if has_docid else pd.NA,
                     "url": pdf["url"] if has_url else "",
                     "lang": pdf["lang"] if has_lang else "",
+                    "path_key": pdf["path_key"] if has_path else "",
                     "text_norm": norm,
                     "doc_len": dlen,
                 }
@@ -189,42 +213,68 @@ def build_docs(
 
 
 def build_termdoc(docs: DataFrame, analyzer: str) -> DataFrame:
-    """docs -> (term, doc_id, tf, dl): per-doc term counting inside the UDF.
+    """docs -> (term, doc_id, tf, dl, pos_bin): per-doc term counting + token
+    positions, all inside the UDF (map-side combine — no shuffle here, and
+    downstream shuffles move one row per posting, never per token occurrence).
 
-    This is the map-side combine: no shuffle happens here, and downstream
-    shuffles move one row per posting (never per token occurrence).
+    Positions are the analyzer token offsets (0-based) of each term in its
+    document, delta+varint encoded per posting. Fully vectorized: one lexsort
+    over the token stream groups (doc, term) pairs while keeping positions in
+    ascending order (stable sort), then one grouped delta-encode pass.
     """
+    from .codec import delta_encode_blocks
 
     def _count_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..analysis import tokenize_batch_flat
 
         for pdf in batches:
             parents, toks = tokenize_batch_flat(pdf["text_norm"], analyzer)
-            if len(toks) == 0:
+            n = len(toks)
+            if n == 0:
                 continue
-            # per-(doc, term) counts, all C-speed: hash-groupby in pandas
-            tf = (
-                pd.DataFrame({"p": parents, "term": toks})
-                .groupby(["p", "term"], sort=False)
-                .size()
-                .reset_index(name="tf")
-            )
-            p = tf["p"].to_numpy()
+            if "path_key" in pdf.columns:
+                pk = pdf["path_key"].fillna("").to_numpy()
+                if (pk != "").any():
+                    # per-path term namespace: '<path>\x1f<token>'
+                    pref = pk[parents]
+                    toks = np.where(
+                        pref == "", toks, pref + FIELD_SEP + toks
+                    ).astype(object)
+            # token position within each doc: parents is non-decreasing
+            change = np.empty(n, dtype=bool)
+            change[0] = True
+            change[1:] = parents[1:] != parents[:-1]
+            run_starts = np.nonzero(change)[0]
+            run_ids = np.cumsum(change) - 1
+            pos = np.arange(n, dtype=np.int64) - run_starts[run_ids]
+            # group by (doc, term); stable => positions stay ascending in-group
+            order = np.lexsort((toks, parents))
+            p_s, t_s, pos_s = parents[order], toks[order], pos[order]
+            gchange = np.empty(n, dtype=bool)
+            gchange[0] = True
+            gchange[1:] = (p_s[1:] != p_s[:-1]) | (t_s[1:] != t_s[:-1])
+            gstarts = np.nonzero(gchange)[0]
+            gends = np.append(gstarts[1:], n)
+            tf = (gends - gstarts).astype(np.int32)
+            pos_bins = delta_encode_blocks(pos_s, gstarts, gends)
+            gp = p_s[gstarts]
             yield pd.DataFrame(
                 {
-                    "term": tf["term"],
-                    "doc_id": pdf["doc_id"].to_numpy()[p],
-                    "tf": tf["tf"].astype("int32"),
-                    "dl": pdf["doc_len"].to_numpy()[p].astype("int32"),
+                    "term": t_s[gstarts],
+                    "doc_id": pdf["doc_id"].to_numpy()[gp],
+                    "tf": tf,
+                    "dl": pdf["doc_len"].to_numpy()[gp].astype("int32"),
+                    "pos_bin": pos_bins,
                 }
             )
 
-    return docs.select("doc_id", "text_norm", "doc_len").mapInPandas(
-        _count_batches, schema=TERMDOC_SCHEMA
-    )
+    sel = ["doc_id", "text_norm", "doc_len"]
+    if "path_key" in docs.columns:
+        sel.append("path_key")
+    return docs.select(*sel).mapInPandas(_count_batches, schema=TERMDOC_SCHEMA)
 
 
-def _make_block_encoder(cfg: IndexConfig, avgdl: float):
+def _make_block_encoder(cfg: IndexConfig):
     """Posting-block encoder for one range partition — fully vectorized.
 
     Input arrives sorted by (term, doc_id); the iterator spans the whole
@@ -232,13 +282,16 @@ def _make_block_encoder(cfg: IndexConfig, avgdl: float):
     Arrow batches. Per accumulated super-batch:
       1. group change points on (term, chunk) -> block starts (size-capped)
       2. ONE varint pass per column, sliced per block by byte offsets
-      3. per-block max_impact via np.maximum.reduceat
+      3. per-block max_tf / min_dl via np.maximum/minimum.reduceat — the
+         avgdl-independent block-max metadata (impact bounds are computed at
+         QUERY time with the then-current global avgdl, so they stay valid
+         as later generations shift avgdl)
     No per-block numpy dispatch — the only Python-level loop is the final
     bytes slicing (one cheap bytes[a:b] per block).
     Block boundaries: size limit, term change, chunk boundary
     (chunk = doc_id // chunk_docs) — see module docstring.
     """
-    k1, b, bs, chunk_docs = cfg.k1, cfg.b, cfg.block_size, cfg.chunk_docs
+    bs, chunk_docs = cfg.block_size, cfg.chunk_docs
     MIN_ROWS = 1 << 17  # accumulate small Arrow batches before encoding
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -286,15 +339,25 @@ def _make_block_encoder(cfg: IndexConfig, avgdl: float):
 
             tfs = pdf["tf"].to_numpy(dtype=np.int64)
             dls = pdf["dl"].to_numpy(dtype=np.int64)
-            impact = (tfs * (k1 + 1.0)) / (
-                tfs + k1 * (1.0 - b + b * dls.astype(np.float64) / avgdl)
-            )
-            max_imp = np.maximum.reduceat(impact, bstarts)
+            max_tf = np.maximum.reduceat(tfs, bstarts).astype(np.int32)
+            min_dl = np.minimum.reduceat(dls, bstarts).astype(np.int32)
             sum_tf = np.add.reduceat(tfs, bstarts)
 
             docs_bin = delta_encode_blocks(ids, bstarts, bends)
             tfs_bin = varint_encode_blocks(tfs, bstarts, bends)
             dls_bin = varint_encode_blocks(dls, bstarts, bends)
+            # positional runs: one C-level join of the batch's buffers, then
+            # per-block byte slices (posting -> byte offsets via run lengths)
+            pos_vals = pdf["pos_bin"].tolist()
+            plens = np.fromiter(
+                (len(x) for x in pos_vals), dtype=np.int64, count=n
+            )
+            poffs = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(plens, out=poffs[1:])
+            pbuf = b"".join(pos_vals)
+            pos_bin = [
+                pbuf[poffs[s] : poffs[e]] for s, e in zip(bstarts, bends)
+            ]
             return pd.DataFrame(
                 {
                     "term": terms[bstarts],
@@ -305,7 +368,9 @@ def _make_block_encoder(cfg: IndexConfig, avgdl: float):
                     "docs_bin": docs_bin,
                     "tfs_bin": tfs_bin,
                     "dls_bin": dls_bin,
-                    "max_impact": max_imp,
+                    "pos_bin": pos_bin,
+                    "max_tf": max_tf,
+                    "min_dl": min_dl,
                     "sum_tf": sum_tf,
                     "part_id": np.full(total, part_id, dtype=np.int32),
                 }
@@ -330,6 +395,7 @@ def _make_block_encoder(cfg: IndexConfig, avgdl: float):
                     "doc_id": pd.Series([], dtype="int64"),
                     "tf": pd.Series([], dtype="int64"),
                     "dl": pd.Series([], dtype="int64"),
+                    "pos_bin": pd.Series([], dtype="object"),
                 }
             )
         )
@@ -340,6 +406,33 @@ def _make_block_encoder(cfg: IndexConfig, avgdl: float):
     return encode
 
 
+def dedup_pages(pages: DataFrame) -> DataFrame:
+    """Keep exactly one row per doc_id within a build batch.
+
+    Harvest feeds realistically repeat urls inside one batch; duplicate
+    doc_ids would emit duplicate (term, doc_id) postings in one generation —
+    inflating df/cf and breaking the sorted-unique invariant the WAND
+    intersection kernel relies on (np.isin(assume_unique=True)).
+
+    Winner: max (warc_ts, xxhash64(url||text)) — latest capture wins, hash
+    tie-break keeps the choice deterministic when timestamps tie or are
+    absent. One shuffle keyed by doc_id; max_by is partial-aggregated
+    map-side, so a hot doc_id never concentrates rows on one reducer.
+    """
+    cols = pages.columns
+    idc = F.col("doc_id") if "doc_id" in cols else F.xxhash64("url")
+    ts = F.col("warc_ts") if "warc_ts" in cols else F.lit(0)
+    tie_parts = [F.coalesce(F.col(c).cast("string"), F.lit("")) for c in cols
+                 if c in ("url", "text")]
+    tie = F.xxhash64(*tie_parts) if tie_parts else F.lit(0)
+    return (
+        pages.withColumn("_did", idc)
+        .groupBy("_did")
+        .agg(F.max_by(F.struct(*cols), F.struct(ts.alias("ts"), tie.alias("tb"))).alias("_row"))
+        .select("_row.*")
+    )
+
+
 def build_index(
     spark: SparkSession,
     pages: DataFrame,
@@ -347,15 +440,26 @@ def build_index(
     cfg: IndexConfig | None = None,
     resume: bool = False,
     generation: int = 0,
+    register: bool = True,
+    assume_unique_ids: bool = False,
 ) -> dict:
     """Full batch index build; returns the manifest dict.
 
     Analog of SHARE's backfill (share/models/index_backfill.py:148-188 +
     daemon bulk loop) collapsed into one deterministic Spark DAG.
+
+    `register=False` builds the generation directory WITHOUT adding it to the
+    top-level manifest — the incremental path registers only after tombstones
+    for replaced docs are merged, so a crash between the two never leaves a
+    re-ingested doc live twice (call register_generation afterwards).
+    `assume_unique_ids=True` skips the intra-batch doc_id dedup shuffle when
+    the producer guarantees unique ids.
     """
     import time as _time
 
     cfg = cfg or IndexConfig()
+    if not assume_unique_ids:
+        pages = dedup_pages(pages)
     gdir = os.path.join(index_dir, f"gen{generation}")
     os.makedirs(gdir, exist_ok=True)
     stage_s: dict[str, float] = {}
@@ -401,7 +505,7 @@ def build_index(
     # stats still prune query-term scans.
     if not (resume and _stage_done(gdir, "postings")):
         n_parts = cfg.n_partitions or spark.sparkContext.defaultParallelism
-        window = cfg.chunk_docs * cfg.salt_chunks
+        window = min(cfg.chunk_docs * cfg.salt_chunks, 1 << 62)
         termdoc = build_termdoc(docs, cfg.analyzer)
         (
             termdoc.repartition(
@@ -409,7 +513,7 @@ def build_index(
                 F.xxhash64("term", (F.col("doc_id") / window).cast("long")),
             )
             .sortWithinPartitions("term", "doc_id")
-            .mapInPandas(_make_block_encoder(cfg, avgdl), schema=BLOCKS_SCHEMA)
+            .mapInPandas(_make_block_encoder(cfg), schema=BLOCKS_SCHEMA)
             .write.mode("overwrite")
             .parquet(postings_path)
         )
@@ -483,6 +587,15 @@ def build_index(
     with open(os.path.join(gdir, "manifest.json"), "w") as f:
         json.dump(gen_manifest, f, indent=1, sort_keys=True)
 
+    if register:
+        register_generation(index_dir, generation, cfg)
+    return gen_manifest
+
+
+def register_generation(index_dir: str, generation: int, cfg: IndexConfig) -> None:
+    """Atomically add a built generation to the top-level manifest (the
+    commit point — tmp write + os.replace, so readers see either the old or
+    the new generation list, never a torn file)."""
     manifest_path = os.path.join(index_dir, "manifest.json")
     manifest = {"strategy_check": cfg.checksum(), "generations": []}
     if os.path.exists(manifest_path):
@@ -492,9 +605,10 @@ def build_index(
     gens.append(generation)
     manifest["generations"] = sorted(gens)
     manifest["strategy_check"] = cfg.checksum()
-    with open(manifest_path, "w") as f:
+    tmp = manifest_path + ".tmp"
+    with open(tmp, "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
-    return gen_manifest
+    os.replace(tmp, manifest_path)
 
 
 @dataclass
@@ -545,6 +659,12 @@ class IndexReader:
     @property
     def analyzer(self) -> str:
         return self.gen_manifests[0]["analyzer"]
+
+    @property
+    def chunk_docs(self) -> int:
+        """Doc-id chunking constant (identical across generations by
+        strategy_check — the query planner's groupBy key derives from it)."""
+        return self.gen_manifests[0]["chunk_docs"]
 
     @property
     def n_docs(self) -> int:

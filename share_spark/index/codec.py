@@ -118,3 +118,57 @@ def delta_encode(doc_ids: np.ndarray) -> bytes:
 def delta_decode(buf: bytes) -> np.ndarray:
     gaps = varint_decode(buf)
     return np.cumsum(gaps, dtype=np.uint64)
+
+
+def grouped_delta_decode(buf: bytes, lengths: np.ndarray) -> np.ndarray:
+    """Decode a buffer of concatenated per-group delta runs (absolute first
+    value per group, gaps after — the layout delta_encode_blocks writes).
+
+    `lengths[i]` = number of values in group i; returns the flat value array
+    (sum(lengths) long). Used for positional postings: group i is posting i's
+    in-document token positions, lengths = the block's tf column.
+
+    Varints are self-delimiting, so buffers of consecutive blocks may be
+    byte-concatenated and decoded in one call as long as `lengths` is the
+    matching concatenation of their tf runs.
+    """
+    vals = varint_decode(buf).astype(np.int64)
+    lengths = np.asarray(lengths, dtype=np.int64)
+    n = int(lengths.sum())
+    if n != vals.shape[0]:
+        raise ValueError(f"positions buffer has {vals.shape[0]} values, tfs sum to {n}")
+    if n == 0:
+        return vals
+    starts = np.zeros(lengths.shape[0], dtype=np.int64)
+    np.cumsum(lengths[:-1], out=starts[1:])
+    c = np.cumsum(vals)
+    base = c[starts] - vals[starts]
+    return c - np.repeat(base, lengths)
+
+
+def gather_groups(
+    flat: np.ndarray, lengths: np.ndarray, order: np.ndarray
+) -> np.ndarray:
+    """Permute variable-length groups of a flat array: group i occupies
+    flat[starts[i]:starts[i]+lengths[i]]; returns groups concatenated in
+    `order`. Vectorized (one fancy-gather), used to co-sort positional runs
+    with their postings."""
+    lengths = np.asarray(lengths, dtype=np.int64)
+    starts = np.zeros(lengths.shape[0], dtype=np.int64)
+    np.cumsum(lengths[:-1], out=starts[1:])
+    ol = lengths[order]
+    total = int(ol.sum())
+    if total == 0:
+        return flat[:0]
+    ostarts = np.zeros(ol.shape[0], dtype=np.int64)
+    np.cumsum(ol[:-1], out=ostarts[1:])
+    idx = np.repeat(starts[order] - ostarts, ol) + np.arange(total, dtype=np.int64)
+    return flat[idx]
+
+
+def filter_groups(
+    flat: np.ndarray, lengths: np.ndarray, keep: np.ndarray
+) -> np.ndarray:
+    """Drop whole groups from a flat grouped array (tombstone filtering of
+    positional runs): returns flat values of groups where keep[i]."""
+    return flat[np.repeat(keep, lengths)]

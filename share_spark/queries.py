@@ -135,10 +135,15 @@ def _indexed(spark: SparkSession, sf_dir: str) -> IndexReader:
 
 
 def _wand_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # overfetch, THEN round, then re-rank on rounded scores — the oracle
+    # rounds before ORDER BY/LIMIT, so a boundary pair whose raw scores
+    # differ but round equal must resolve by doc_id in BOTH engines
     idx = _indexed(spark, sf_dir)
-    out = wand_topk(idx, " ".join(BM25_TERMS), k=BM25_K)
-    return out.select("doc_id", F.round("score", 4).alias("score")).orderBy(
-        F.desc("score"), F.asc("doc_id")
+    out = wand_topk(idx, " ".join(BM25_TERMS), k=BM25_K + 10)
+    return (
+        out.select("doc_id", F.round("score", 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(BM25_K)
     )
 
 
@@ -342,9 +347,12 @@ def _dedup_fingerprint(spark, sf_dir):
 
 
 def _dedup_jaccard(spark, sf_dir):
-    return textops.jaccard_pairs(
-        _t(spark, sf_dir, "documents"), threshold=0.8, n=3
-    )
+    """Scale-safe composed plan: MinHash-LSH candidate pairs -> exact 3-gram
+    Jaccard verify ONLY on candidates. The quadratic token self-join of the
+    standalone exact form never runs; the oracle composes identically."""
+    docs = _t(spark, sf_dir, "documents")
+    cand = textops.minhash_lsh_pairs(docs, n_perm=16, band_size=4)
+    return textops.jaccard_verify(docs, cand, threshold=0.8, n=3)
 
 
 def _dedup_minhash(spark, sf_dir):
@@ -406,6 +414,216 @@ def _knn_lsh(spark, sf_dir):
     return similarity.knn_lsh(emb, _query_vec(spark, sf_dir), k=10, n_planes=4)
 
 
+# ------------------------------------- engine-path structured-search plane
+#
+# These entries run the REAL engine modules (query/filters.py, valuesearch,
+# wand filter-pushdown, field-scoped index) over a doc_values long table
+# derived DETERMINISTICALLY from the documents parquet — the same derivation
+# is written in SQL inside each oracle, so the driver's gate exercises the
+# engine code, not an inline re-statement of it.
+
+_DV_SQL = """
+dv AS (
+  SELECT doc_id, '["dcterms:subject"]' AS path_key, 1 AS depth,
+         'iri' AS value_type,
+         '://subjects.example/s' || CAST(doc_id % 50 AS VARCHAR)
+           || (CASE WHEN doc_id % 2 = 1 THEN '/' ELSE '' END) AS iri_value,
+         CAST(NULL AS VARCHAR) AS text_value,
+         CAST(NULL AS DATE) AS date_value,
+         CAST(NULL AS BIGINT) AS int_value
+  FROM documents WHERE doc_id % 7 <> 0
+  UNION ALL
+  SELECT doc_id, '["dcterms:created"]', 1, 'date', NULL, NULL,
+         DATE '1995-01-01' + (CAST(doc_id % 2000 AS INT) * INTERVAL 1 DAY),
+         NULL
+  FROM documents
+  UNION ALL
+  SELECT doc_id, '["osf:stats","osf:downloads"]', 2, 'int', NULL, NULL,
+         NULL, n_chars
+  FROM documents WHERE doc_id % 10 = 0
+)
+"""
+
+
+def _derived_doc_values(docs: DataFrame) -> DataFrame:
+    """Spark twin of _DV_SQL (long-format doc_values; FIXTURES.md §2)."""
+    d = F.col("doc_id")
+    nulls = [
+        F.lit(None).cast("string").alias("text_value"),
+        F.lit(None).cast("date").alias("date_value"),
+        F.lit(None).cast("long").alias("int_value"),
+    ]
+    subj = docs.filter(d % 7 != 0).select(
+        "doc_id",
+        F.lit('["dcterms:subject"]').alias("path_key"),
+        F.lit(1).alias("depth"),
+        F.lit("iri").alias("value_type"),
+        F.concat(
+            F.lit("://subjects.example/s"),
+            (d % 50).cast("string"),
+            F.when(d % 2 == 1, F.lit("/")).otherwise(F.lit("")),
+        ).alias("iri_value"),
+        *nulls,
+    )
+    created = docs.select(
+        "doc_id",
+        F.lit('["dcterms:created"]').alias("path_key"),
+        F.lit(1).alias("depth"),
+        F.lit("date").alias("value_type"),
+        F.lit(None).cast("string").alias("iri_value"),
+        F.lit(None).cast("string").alias("text_value"),
+        F.date_add(F.lit("1995-01-01").cast("date"), (d % 2000).cast("int")).alias(
+            "date_value"
+        ),
+        F.lit(None).cast("long").alias("int_value"),
+    )
+    downloads = docs.filter(d % 10 == 0).select(
+        "doc_id",
+        F.lit('["osf:stats","osf:downloads"]').alias("path_key"),
+        F.lit(2).alias("depth"),
+        F.lit("int").alias("value_type"),
+        F.lit(None).cast("string").alias("iri_value"),
+        F.lit(None).cast("string").alias("text_value"),
+        F.lit(None).cast("date").alias("date_value"),
+        F.col("n_chars").cast("long").alias("int_value"),
+    )
+    return subj.unionByName(created).unionByName(downloads)
+
+
+def _filter_present_engine(spark, sf_dir):
+    from .query.filters import IS_PRESENT, SearchFilter, apply_filters
+
+    docs = _t(spark, sf_dir, "documents")
+    dv = _derived_doc_values(docs)
+    f = SearchFilter(paths=('["osf:stats","osf:downloads"]',), op=IS_PRESENT)
+    return apply_filters(docs.select("doc_id"), dv, [f])
+
+
+def _filter_absent_engine(spark, sf_dir):
+    from .query.filters import IS_ABSENT, SearchFilter, apply_filters
+
+    docs = _t(spark, sf_dir, "documents")
+    dv = _derived_doc_values(docs)
+    f = SearchFilter(paths=('["dcterms:subject"]',), op=IS_ABSENT)
+    return apply_filters(docs.select("doc_id"), dv, [f])
+
+
+def _filter_date_engine(spark, sf_dir):
+    """AT_DATE with year granularity ('1996') through query/filters.py."""
+    from .query.filters import AT_DATE, SearchFilter, apply_filters
+
+    docs = _t(spark, sf_dir, "documents")
+    dv = _derived_doc_values(docs)
+    f = SearchFilter(
+        paths=('["dcterms:created"]',), op=AT_DATE, values=("1996",)
+    )
+    return apply_filters(docs.select("doc_id"), dv, [f])
+
+
+def _synonym_engine(spark, sf_dir):
+    """sameAs synonym filter with suffuniq on BOTH sides (query variants use
+    http scheme + trailing slash; stored synonyms use https, no slash)."""
+    from .query.filters import synonym_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    synonyms = docs.filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id",
+        F.concat(
+            F.lit("https://alias.example/a"), F.col("doc_id").cast("string")
+        ).alias("synonym_iri"),
+    )
+    iris = [f"http://alias.example/a{i}/" for i in (0, 7, 14, 21, 28, 35)]
+    return synonym_filter(docs.select("doc_id"), synonyms, iris)
+
+
+def _valuesearch_engine(spark, sf_dir):
+    from .query.valuesearch import value_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    dv = _derived_doc_values(docs)
+    return value_counts(dv, ['["dcterms:subject"]'], page_size=10)
+
+
+def _ft_filtered_topk(spark, sf_dir):
+    """Text + structured filter with the filter PUSHED INTO the WAND kernel
+    (the full-pages guarantee — no overfetch)."""
+    from .query.filters import ANY_OF, SearchFilter, apply_filters
+
+    idx = _indexed(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    dv = _derived_doc_values(docs)
+    f = SearchFilter(
+        paths=('["dcterms:subject"]',),
+        op=ANY_OF,
+        values=("://subjects.example/s7", "https://subjects.example/s13/"),
+    )
+    ids = apply_filters(docs.select("doc_id"), dv, [f])
+    out = wand_topk(idx, "spark", k=15 + 10, filter_docs=ids)
+    return (
+        out.select("doc_id", F.round("score", 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(15)
+    )
+
+
+def _ft_phrase_rank(spark, sf_dir):
+    """BM25-ranked phrase query through the POSITIONAL index (WAND path)."""
+    idx = _indexed(spark, sf_dir)
+    out = wand_topk(idx, '"group query"', k=BM25_K + 10)
+    return (
+        out.select("doc_id", F.round("score", 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(BM25_K)
+    )
+
+
+_FIELD_INDEX_CACHE: dict[str, str] = {}
+
+
+def _field_indexed(spark, sf_dir):
+    """Field index over documents split into title (first 8 tokens) and
+    abstract (rest) — deterministic, so the oracle derives the same rows."""
+    from .query.fields import FieldIndex, build_field_index
+
+    key = os.path.abspath(sf_dir)
+    if key not in _FIELD_INDEX_CACHE:
+        docs = _t(spark, sf_dir, "documents")
+        toks = F.split("text", " ")
+        title = F.array_join(F.slice(toks, 1, 8), " ")
+        abstract = F.array_join(
+            F.slice(toks, 9, F.greatest(F.size(toks) - 8, F.lit(0))), " "
+        )
+        rows = docs.select(
+            "doc_id", F.lit("title").alias("path_key"), title.alias("text")
+        ).unionByName(
+            docs.select(
+                "doc_id",
+                F.lit("abstract").alias("path_key"),
+                abstract.alias("text"),
+            ).filter(F.col("text") != "")
+        )
+        d = tempfile.mkdtemp(prefix="ss_fidx_")
+        build_field_index(
+            spark, rows, d, IndexConfig(analyzer="standard", chunk_docs=2048)
+        )
+        _FIELD_INDEX_CACHE[key] = d
+    from .query.fields import FieldIndex
+
+    return FieldIndex.open(spark, _FIELD_INDEX_CACHE[key])
+
+
+def _ft_scoped_title(spark, sf_dir):
+    """cardSearchText[title]: BM25 scoped to the title field via the
+    path-prefixed field index."""
+    fidx = _field_indexed(spark, sf_dir)
+    out = fidx.scoped_topk("spark", ["title"], k=15 + 10)
+    return (
+        out.select("doc_id", F.round("score", 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(15)
+    )
+
+
 # ------------------------------------------------------- scalar / misc ops
 
 def _iri_normalize(spark, sf_dir):
@@ -453,6 +671,16 @@ QUERIES = {
     "sort_int_page": _sort_int_page,
     "paging_offset": _paging_offset,
     "oai_keyset": _oai_keyset,
+    # engine-path structured plane (query/filters.py, valuesearch.py,
+    # wand filter pushdown, field-scoped index)
+    "filter_present_engine": _filter_present_engine,
+    "filter_absent_engine": _filter_absent_engine,
+    "filter_date_engine": _filter_date_engine,
+    "synonym_engine": _synonym_engine,
+    "valuesearch_engine": _valuesearch_engine,
+    "ft_filtered_topk": _ft_filtered_topk,
+    "ft_phrase_rank": _ft_phrase_rank,
+    "ft_scoped_title": _ft_scoped_title,
     "feed_recent": _feed_recent,
     "latest_event_per_user": _latest_event_per_user,
     "total_saturating": _total_saturating,
@@ -521,11 +749,165 @@ FROM bitsum GROUP BY doc_id
 """
 
 
-def _jaccard3_oracle() -> str:
-    return """
-WITH arr AS (
+def _bm25_terms_oracle(terms: tuple[str, ...], k: int, extra_where: str = "") -> str:
+    """General BM25-over-documents oracle: AND of `terms`, optional extra
+    candidate predicate (phrase / filter pushdown twin), round-before-limit."""
+    tl = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, t AS term
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+  WHERE t <> ''
+),
+dls AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+corpus AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dls),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE term IN ({tl}) GROUP BY doc_id, term
+),
+dfs AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM toks
+  WHERE term IN ({tl}) GROUP BY term
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (n - df + 0.5) / (df + 0.5))
+             * (tf * {K1 + 1.0}) / (tf + {K1} * (1.0 - {B} + {B} * dl / avgdl))
+         ) AS s,
+         count(*) AS nt
+  FROM tf JOIN dfs USING (term) JOIN dls USING (doc_id) CROSS JOIN corpus
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(s, 4) AS score FROM scored WHERE nt = {len(terms)}
+{extra_where}
+ORDER BY score DESC, doc_id LIMIT {k}
+"""
+
+
+_FT_FILTERED_ORACLE = _bm25_terms_oracle(
+    ("spark",),
+    15,
+    # suffuniq('://subjects.example/s7') and suffuniq('https://.../s13/')
+    # both normalize to '://subjects.example/s<m>'; subject rows exist only
+    # for doc_id % 7 <> 0 (the dv derivation)
+    "AND doc_id IN (SELECT doc_id FROM documents "
+    "WHERE doc_id % 50 IN (7, 13) AND doc_id % 7 <> 0)",
+)
+
+_FT_PHRASE_RANK_ORACLE = _bm25_terms_oracle(
+    ("group", "query"),
+    BM25_K,
+    "AND doc_id IN (SELECT doc_id FROM documents "
+    "WHERE (' ' || text || ' ') LIKE '% group query %')",
+)
+
+_FT_SCOPED_ORACLE = """
+WITH base AS (
   SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
   FROM documents
+),
+frows AS (
+  SELECT doc_id, 'title' AS pk, toks[1:8] AS ftoks FROM base
+  UNION ALL
+  SELECT doc_id, 'abstract', toks[9:len(toks)] FROM base WHERE len(toks) > 8
+),
+corpus AS (
+  SELECT count(*)::DOUBLE AS n, avg(len(ftoks)) AS avgdl FROM frows
+),
+title AS (
+  SELECT doc_id, len(list_filter(ftoks, t -> t = 'spark')) AS tf,
+         len(ftoks) AS dl
+  FROM frows WHERE pk = 'title'
+),
+dfv AS (SELECT count(*)::DOUBLE AS df FROM title WHERE tf > 0)
+SELECT doc_id,
+       round(ln(1 + (n - df + 0.5) / (df + 0.5))
+             * (tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)),
+             4) AS score
+FROM title CROSS JOIN corpus CROSS JOIN dfv
+WHERE tf > 0
+ORDER BY score DESC, doc_id LIMIT 15
+"""
+
+
+def _knn_lsh_oracle(n_planes: int = 4, k: int = 10) -> str:
+    """Multiprobe LSH ANN is SQL-expressible because the plane weights are
+    deterministic (md5): compute every vector's signature, the query's
+    probed bucket set (itself + hamming-1), then exact cosine inside."""
+    return f"""
+WITH e AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         unnest(embedding)::DOUBLE AS v
+  FROM embeddings
+),
+proj AS (
+  SELECT vec_id, p.p,
+         sum(v * CASE WHEN ('0x' || substr(md5('p' || p.p || '#' || (i - 1)), 1, 1))::INT % 2 = 0
+                      THEN 1.0 ELSE -1.0 END) AS s
+  FROM e CROSS JOIN (SELECT unnest(generate_series(0, {n_planes - 1})) AS p) p
+  GROUP BY vec_id, p.p
+),
+sig AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN s >= 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END)
+              AS BIGINT) AS b
+  FROM proj GROUP BY vec_id
+),
+q0 AS (SELECT b FROM sig WHERE vec_id = 0),
+probes AS (
+  SELECT b FROM q0
+  UNION
+  SELECT xor(q0.b, CAST(1 AS BIGINT) << pp.p)
+  FROM q0 CROSS JOIN (SELECT unnest(generate_series(0, {n_planes - 1})) AS p) pp
+),
+cand AS (SELECT vec_id FROM sig WHERE b IN (SELECT b FROM probes)),
+q AS (
+  SELECT generate_subscripts(embedding, 1) AS i, unnest(embedding)::DOUBLE AS v
+  FROM embeddings WHERE vec_id = 0
+),
+dots AS (
+  SELECT e.vec_id, sum(e.v * q.v) AS dot, sqrt(sum(e.v * e.v)) AS ne
+  FROM e JOIN q USING (i)
+  WHERE e.vec_id IN (SELECT vec_id FROM cand)
+  GROUP BY e.vec_id
+),
+qn AS (SELECT sqrt(sum(v * v)) AS nq FROM q)
+SELECT vec_id, round(dot / (ne * nq), 6) AS cos
+FROM dots CROSS JOIN qn
+ORDER BY cos DESC, vec_id LIMIT {k}
+"""
+
+
+def _jaccard_lsh_verified_oracle() -> str:
+    """The composed dedup plan's twin: LSH candidate pairs -> exact 3-gram
+    Jaccard, shingles computed only for candidate docs."""
+    return """
+WITH toks AS (
+  SELECT DISTINCT doc_id, t AS term
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+  WHERE t <> ''
+),
+sigs AS (
+  SELECT doc_id, p.perm, min(md5(term || '#' || p.perm)) AS mh
+  FROM toks CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS perm) p
+  GROUP BY doc_id, p.perm
+),
+bands AS (
+  SELECT doc_id, perm // 4 AS band,
+         string_agg(mh, ',' ORDER BY perm) AS band_key
+  FROM sigs GROUP BY doc_id, perm // 4
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+cdocs AS (
+  SELECT doc_a AS doc_id FROM cand UNION SELECT doc_b FROM cand
+),
+arr AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM documents WHERE doc_id IN (SELECT doc_id FROM cdocs)
 ),
 grams AS (
   SELECT DISTINCT doc_id,
@@ -536,8 +918,10 @@ grams AS (
 ),
 sizes AS (SELECT doc_id, count(*) AS s FROM grams GROUP BY doc_id),
 inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+  SELECT c.doc_a, c.doc_b, count(*) AS i
+  FROM cand c
+  JOIN grams ga ON ga.doc_id = c.doc_a
+  JOIN grams gb ON gb.doc_id = c.doc_b AND gb.g = ga.g
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,
@@ -698,7 +1082,7 @@ ORACLES = {
     """,
     "dedup_fingerprint":
         "SELECT doc_id, md5(text) AS fingerprint FROM documents",
-    "dedup_jaccard3": _jaccard3_oracle(),
+    "dedup_jaccard3": _jaccard_lsh_verified_oracle(),
     "dedup_minhash_lsh": _minhash_oracle(),
     "dedup_simhash": _simhash_oracle(),
     "text_quality": """
@@ -743,6 +1127,33 @@ ORACLES = {
     """,
     "knn_bruteforce": _knn_oracle("ORDER BY cos DESC, vec_id LIMIT 10"),
     "knn_lsh_buckets": _lsh_bucket_oracle(4),
+    "knn_lsh": _knn_lsh_oracle(4, 10),
+    "filter_present_engine":
+        "SELECT doc_id FROM documents WHERE doc_id % 10 = 0",
+    "filter_absent_engine":
+        "SELECT doc_id FROM documents WHERE doc_id % 7 = 0",
+    "filter_date_engine": f"""
+        WITH {_DV_SQL.strip()}
+        SELECT DISTINCT doc_id FROM dv
+        WHERE path_key = '["dcterms:created"]'
+          AND date_value >= DATE '1996-01-01'
+          AND date_value < DATE '1997-01-01'
+    """,
+    "synonym_engine": """
+        SELECT doc_id FROM documents
+        WHERE doc_id % 7 = 0 AND doc_id IN (0, 7, 14, 21, 28, 35)
+    """,
+    "valuesearch_engine": f"""
+        WITH {_DV_SQL.strip()}
+        SELECT iri_value, count(DISTINCT doc_id) AS match_count
+        FROM dv
+        WHERE path_key = '["dcterms:subject"]' AND iri_value IS NOT NULL
+        GROUP BY iri_value
+        ORDER BY match_count DESC, iri_value LIMIT 11
+    """,
+    "ft_filtered_topk": _FT_FILTERED_ORACLE,
+    "ft_phrase_rank": _FT_PHRASE_RANK_ORACLE,
+    "ft_scoped_title": _FT_SCOPED_ORACLE,
     "iri_normalize": """
         SELECT doc_id,
           CASE WHEN u LIKE '%/' THEN substr(nrm, 1, length(nrm) - 1) ELSE nrm
@@ -764,13 +1175,11 @@ ORACLES = {
                sha256(text) AS sha256
         FROM documents
     """,
-    # knn_lsh intentionally has no oracle: multiprobe candidate pruning is an
-    # approximate, non-SQL-expressible traversal; the driver records the
-    # rows-only check and tests/test_similarity.py covers recall.
 }
 
 
 def clear_index_cache() -> None:
-    for d in _INDEX_CACHE.values():
+    for d in list(_INDEX_CACHE.values()) + list(_FIELD_INDEX_CACHE.values()):
         shutil.rmtree(d, ignore_errors=True)
     _INDEX_CACHE.clear()
+    _FIELD_INDEX_CACHE.clear()

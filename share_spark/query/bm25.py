@@ -166,32 +166,110 @@ def term_idf_df(index: IndexReader, terms: tuple[str, ...]) -> DataFrame:
     )
 
 
+POSITIONS_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("gen", T.IntegerType()),
+        T.StructField("positions", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def positions_rows(index: IndexReader, terms: list[str]) -> DataFrame:
+    """Positional postings for `terms` as (term, doc_id, gen, positions) rows
+    with generation-scoped tombstones applied — the exact path's view of the
+    positional index (pos_bin runs decoded vectorized, per block)."""
+    blocks = index.postings().filter(F.col("term").isin(terms)).select(
+        "term", "docs_bin", "tfs_bin", "pos_bin", "gen"
+    )
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..index.codec import grouped_delta_decode
+
+        for pdf in batches:
+            terms_l, ids_l, gens_l, poss_l = [], [], [], []
+            for term, db, tb, pb, gen in zip(
+                pdf["term"], pdf["docs_bin"], pdf["tfs_bin"], pdf["pos_bin"],
+                pdf["gen"],
+            ):
+                ids = delta_decode(db).astype(np.int64)
+                tfs = varint_decode(tb).astype(np.int64)
+                flat = grouped_delta_decode(pb, tfs)
+                plists = np.split(flat, np.cumsum(tfs)[:-1])
+                terms_l.append(np.full(len(ids), term, dtype=object))
+                ids_l.append(ids)
+                gens_l.append(np.full(len(ids), gen, dtype=np.int32))
+                poss_l.extend(plists)
+            if not ids_l:
+                continue
+            yield pd.DataFrame(
+                {
+                    "term": np.concatenate(terms_l),
+                    "doc_id": np.concatenate(ids_l),
+                    "gen": np.concatenate(gens_l),
+                    "positions": poss_l,
+                }
+            )
+
+    rows = blocks.mapInPandas(_decode, schema=POSITIONS_SCHEMA)
+    tomb = index.tombstones()
+    if tomb is not None:
+        rows = rows.join(F.broadcast(tomb), "doc_id", "left").filter(
+            F.col("before_gen").isNull() | (F.col("gen") >= F.col("before_gen"))
+        ).drop("before_gen")
+    return rows
+
+
 def _phrase_filter(index: IndexReader, candidates: DataFrame, pq: ParsedQuery) -> DataFrame:
-    """Verify phrases / negated phrases by re-checking normalized doc text.
+    """Verify phrases / negated phrases against the POSITIONAL INDEX.
 
-    Tokens are analyzer output joined by single spaces, so an in-order phrase
-    match is a word-boundary substring match on the token-joined text —
-    equivalent to a positional-index phrase check for this analyzer family.
+    In-order phrase match: exists p in positions(t0) with p+i in
+    positions(ti) for every following phrase term — expressed with
+    higher-order array functions (exists / array_contains), JVM-side after
+    the vectorized postings decode. No stored-text rescan, no re-tokenize
+    (reference semantics pinned at _common_trovesearch_tests.py:455-474).
     """
-    needed = pq.phrases or pq.neg_phrases
-    if not needed:
+    if not (pq.phrases or pq.neg_phrases):
         return candidates
-    docs = index.live_docs().select("doc_id", "text_norm")
-    joined = candidates.join(docs, "doc_id", "left")
-    analyzer = index.analyzer
+    phrase_terms = sorted({t for ph in pq.phrases + pq.neg_phrases for t in ph})
+    rows = positions_rows(index, phrase_terms)
+    # one live row per (doc, term): latest generation wins (tombstones leave
+    # exactly one except in crash windows; max_by keeps it deterministic)
+    per_dt = rows.groupBy("doc_id", "term").agg(
+        F.max_by("positions", "gen").alias("positions")
+    )
+    pcols = {t: f"_p{i}" for i, t in enumerate(phrase_terms)}
+    per_doc = per_dt.groupBy("doc_id").agg(
+        *[
+            F.first(
+                F.when(F.col("term") == t, F.col("positions")), ignorenulls=True
+            ).alias(c)
+            for t, c in pcols.items()
+        ]
+    )
+    joined = candidates.join(per_doc, "doc_id", "left")
 
-    # tokenized text as a column via pandas UDF (same analyzer as indexing)
-    @F.pandas_udf(T.StringType())
-    def _norm_tokens(texts: pd.Series) -> pd.Series:
-        return texts.map(lambda t: " " + " ".join(tokenize(t or "", analyzer)) + " ")
+    def phrase_cond(ph: tuple[str, ...]):
+        present = F.lit(True)
+        for t in ph:
+            present = present & F.col(pcols[t]).isNotNull()
+        rest = ph[1:]
 
-    joined = joined.withColumn("_tokstr", _norm_tokens("text_norm"))
+        def check(p):
+            c = F.lit(True)
+            for i, t in enumerate(rest, start=1):
+                c = c & F.array_contains(F.col(pcols[t]), p + i)
+            return c
+
+        return present & F.exists(F.col(pcols[ph[0]]), check)
+
     cond = F.lit(True)
     for ph in pq.phrases:
-        cond = cond & F.col("_tokstr").contains(" " + " ".join(ph) + " ")
+        cond = cond & phrase_cond(ph)
     for ph in pq.neg_phrases:
-        cond = cond & ~F.col("_tokstr").contains(" " + " ".join(ph) + " ")
-    return joined.filter(cond).drop("_tokstr", "text_norm")
+        cond = cond & ~F.coalesce(phrase_cond(ph), F.lit(False))
+    return joined.filter(cond).drop(*pcols.values())
 
 
 def exact_topk(
@@ -199,13 +277,15 @@ def exact_topk(
     query_text: str,
     k: int = 13,
     offset: int = 0,
+    filter_docs: DataFrame | None = None,
 ) -> DataFrame:
     """Exact BM25 top-k: returns (doc_id, score, rank), rank 1-based.
 
     AND semantics: a doc must contain every positive term; negated terms and
-    phrases filter candidates out. Tie-break: ascending doc_id (deterministic
-    ordering mirrors the reference's pinned orderings,
-    _common_trovesearch_tests.py:330-337).
+    phrases filter candidates out; `filter_docs` (doc_id) restricts results
+    to that set (semi-join before top-k truncation — full pages guaranteed).
+    Tie-break: ascending doc_id (deterministic ordering mirrors the
+    reference's pinned orderings, _common_trovesearch_tests.py:330-337).
     """
     pq = parse_query(query_text, index.analyzer)
     if not pq.terms:
@@ -236,6 +316,8 @@ def exact_topk(
             live_postings(index, list(pq.neg_terms)).select("doc_id").distinct()
         )
         agg = agg.join(neg_docs, "doc_id", "left_anti")
+    if filter_docs is not None:
+        agg = agg.join(filter_docs.select("doc_id"), "doc_id", "left_semi")
     agg = _phrase_filter(index, agg, pq)
 
     # top-(offset+k) first (Catalyst TakeOrderedAndProject: per-partition

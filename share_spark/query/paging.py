@@ -71,15 +71,20 @@ def offset_page(
 
 def keyset_page(
     df: DataFrame, id_col: str, last_id: int | None, page_size: int = 13
-) -> tuple[DataFrame, bool]:
-    """OAI-PMH-style keyset pagination with +1 overfetch; returns
-    (page_df, has_more). Keyset scales where offset doesn't: the filter is
-    pushed to the scan, no skip-scan of prior pages."""
+) -> tuple[DataFrame, int]:
+    """OAI-PMH-style keyset pagination with +1 overfetch.
+
+    Returns (rows_with_overfetch, page_size): the DataFrame holds UP TO
+    page_size + 1 rows ordered by id — the caller materializes once, slices
+    the first page_size rows, and `len(rows) > page_size` is has_more (the
+    +1 row is the probe, never rendered). Keyset scales where offset
+    doesn't: the id predicate is pushed to the scan, no skip-scan of prior
+    pages."""
     out = df
     if last_id is not None:
         out = out.filter(F.col(id_col) > last_id)
     rows = out.orderBy(F.asc(id_col)).limit(page_size + 1)
-    return rows, page_size  # caller slices; has_more = count > page_size
+    return rows, page_size
 
 
 def seeded_random_page(

@@ -152,11 +152,18 @@ def compile_cardsearch(
     params: CardsearchParams,
     index: IndexReader,
     doc_values: DataFrame | None = None,
+    field_index: "FieldIndex | None" = None,
 ) -> DataFrame:
     """CardsearchParams -> result DataFrame (doc_id [, score] [, rank]).
 
-    Text present -> relevance ranking via WAND (filters applied as semi/anti
-    joins on the candidate set); no text -> filter-sort-page plan.
+    Text present -> relevance ranking via WAND; structured filters are
+    compiled to the matching doc-id set and PUSHED INTO the WAND kernel
+    (filter_docs), so pages are always full — no overfetch heuristics, no
+    short pages when filters are selective. No text -> filter-sort-page plan.
+
+    Path-scoped text (cardSearchText[path,...], search_params.py:139-186)
+    requires a FieldIndex built over per-path text rows; passing text_paths
+    without one raises — the param is never silently ignored.
     """
     from .filters import apply_filters
     from .wand import wand_topk
@@ -165,30 +172,34 @@ def compile_cardsearch(
     if params.cursor and params.cursor.type_key == "offset" and params.cursor.args:
         offset = int(params.cursor.args[0])
 
+    filter_ids = None
+    if params.filters:
+        if doc_values is None:
+            raise ValueError("filters require a doc_values table")
+        filter_ids = apply_filters(
+            index.live_docs().select("doc_id"), doc_values, list(params.filters)
+        )
+
     if params.texts:
         # multiple cardSearchText params AND together (search_params.py:656-668
         # analog): concatenate — parse_query gives AND-of-terms semantics
         qtext = " ".join(params.texts)
-        if params.filters:
-            if doc_values is None:
-                raise ValueError("filters require a doc_values table")
-            # overfetch then semi-join filters, preserving relevance rank
-            raw = wand_topk(index, qtext, k=(offset + params.page_size) * 4)
-            docs = apply_filters(
-                raw, doc_values, list(params.filters)
+        if params.text_paths:
+            if field_index is None:
+                raise ValueError(
+                    "cardSearchText[path] requires a FieldIndex "
+                    "(build one with share_spark.query.fields.build_field_index)"
+                )
+            return field_index.scoped_topk(
+                qtext, list(params.text_paths), k=params.page_size,
+                offset=offset, filter_docs=filter_ids,
             )
-            return (
-                docs.orderBy(F.asc("rank"))
-                .limit(offset + params.page_size)
-                .filter(F.col("rank") > offset)
-            )
-        return wand_topk(index, qtext, k=params.page_size, offset=offset)
+        return wand_topk(
+            index, qtext, k=params.page_size, offset=offset,
+            filter_docs=filter_ids,
+        )
 
-    docs = index.live_docs().select("doc_id")
-    if params.filters:
-        if doc_values is None:
-            raise ValueError("filters require a doc_values table")
-        docs = apply_filters(docs, doc_values, list(params.filters))
+    docs = filter_ids if filter_ids is not None else index.live_docs().select("doc_id")
     if params.sort:
         if doc_values is None:
             raise ValueError("sort requires a doc_values table")

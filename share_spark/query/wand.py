@@ -13,12 +13,28 @@ block-max WAND) maps onto Spark's execution model:
   term has at least one block in it — a metadata-only aggregation, no
   posting bytes decoded.
 - **Block-max pruning**: each chunk's score upper bound is
-  sum_t idf(t) * max(block max_impact of t in chunk), from block metadata
-  only; idf comes from a broadcast join against the per-query term_stats
-  slice (the north rule's "broadcast term statistics"). Two phases:
-  (1) score the top-B chunks by bound -> threshold tau = k-th best score;
-  (2) score only remaining chunks with bound > tau — skipped entirely when
-  phase 1 already covered every eligible chunk.
+  sum_t idf(t) * max over t's blocks of impact(max_tf, min_dl, avgdl_query),
+  from block metadata only; idf comes from a broadcast join against the
+  per-query term_stats slice (the north rule's "broadcast term statistics").
+  The bound is computed with the QUERY-TIME global avgdl from stored
+  (max_tf, min_dl) — impact is increasing in tf and decreasing in dl, so it
+  upper-bounds every posting in the block regardless of how later
+  generations move avgdl (a build-time max_impact would go stale and prune
+  true top-k docs once global avgdl exceeds a generation's own).
+  Two phases: (1) score the top-B chunks by bound -> threshold tau = k-th
+  best score; (2) score only remaining chunks with bound >= tau — skipped
+  entirely when phase 1 already covered every eligible chunk.
+- **Phrases are an index operation**: positional postings (pos_bin runs)
+  are decoded only for phrase terms; in-order matching is a vectorized
+  key-intersection (doc_rank * P + position), never a stored-text rescan
+  (the reference pins phrase semantics at
+  _common_trovesearch_tests.py:455-474).
+- **Tombstones and structured filters ride an in-plan aux channel**: both
+  are DataFrames keyed by chunk = doc_id // chunk_docs, cogrouped with the
+  posting blocks, and applied inside the kernel BEFORE local top-n
+  truncation. No driver collect (10^8 tombstones between compactions would
+  be a driver OOM), and no overfetch heuristics for filtered queries — the
+  kernel sees the exact allowed-doc set for its chunk.
 - Job economy: one metadata job (chunk bounds), one scoring job per phase.
   The driver only ever sees <= B+1 chunk bounds and <= offset+k scored rows
   per phase; per-phase top-n lists merge driver-side (any doc in the global
@@ -40,7 +56,13 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..index.build import IndexReader
-from ..index.codec import delta_decode, varint_decode
+from ..index.codec import (
+    delta_decode,
+    filter_groups,
+    gather_groups,
+    grouped_delta_decode,
+    varint_decode,
+)
 from .bm25 import ParsedQuery, parse_query
 
 CHUNK_SCORES_SCHEMA = T.StructType(
@@ -50,112 +72,215 @@ CHUNK_SCORES_SCHEMA = T.StructType(
     ]
 )
 
+AUX_SCHEMA = "chunk long, doc_id long, before_gen long, kind string"
+
 RESULT_SCHEMA = "doc_id long, score double, rank int"
 
 
+def _member(sorted_arr: np.ndarray, vals: np.ndarray) -> np.ndarray:
+    """Membership of vals in a sorted array, vectorized."""
+    if sorted_arr.size == 0:
+        return np.zeros(vals.shape[0], dtype=bool)
+    i = np.searchsorted(sorted_arr, vals)
+    ic = np.minimum(i, sorted_arr.size - 1)
+    return (i < sorted_arr.size) & (sorted_arr[ic] == vals)
+
+
+def impact_bound_col(k1: float, b: float, avgdl: float):
+    """Per-block impact upper bound from avgdl-independent metadata,
+    evaluated with the query-time global avgdl (see module docstring)."""
+    mtf = F.col("max_tf").cast("double")
+    mdl = F.col("min_dl").cast("double")
+    return (mtf * (k1 + 1.0)) / (
+        mtf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * mdl / F.lit(avgdl))
+    )
+
+
 def _make_chunk_scorer(
-    pos_terms: tuple[str, ...],
-    neg_terms: tuple[str, ...],
+    pq: ParsedQuery,
     k1: float,
     b: float,
     avgdl: float,
     n_keep: int,
     tau: float,
-    tombstones: tuple[np.ndarray, np.ndarray] | None = None,
+    filter_active: bool,
 ):
-    """applyInPandas kernel: score one chunk's blocks, emit local top-n.
+    """applyInPandas / cogroup kernel: score one chunk's blocks, emit local
+    top-n.
 
-    Rows carry an `idf` column (broadcast-joined per query) and a `gen`
-    segment id; tombstones = (doc_ids, before_gens) kill a doc only in
-    generations below its before_gen (Lucene per-segment deletes). Negative
-    terms have null idf and contribute only their doc ids."""
-    pos_sorted = tuple(sorted(pos_terms))
-    neg_set = frozenset(neg_terms)
+    Block rows carry `idf` (broadcast-joined per query), `gen` (segment id),
+    and `bound_imp` (query-time impact bound). The optional aux frame carries
+    tombstones (kind='tomb': kill doc in generations < before_gen) and the
+    allowed-doc set when a structured filter is pushed down (kind='allow').
+    Negative terms / neg-phrase-only terms have null idf and contribute only
+    ids (+ positions for phrase checks).
+    """
+    pos_sorted = tuple(sorted(pq.terms))
+    pos_set = frozenset(pq.terms)
+    neg_set = frozenset(pq.neg_terms)
+    phrase_terms = frozenset(
+        t for ph in (pq.phrases + pq.neg_phrases) for t in ph
+    )
+    max_phrase_len = max((len(p) for p in pq.phrases + pq.neg_phrases), default=0)
 
-    def _gen_exclusions(gen: int) -> np.ndarray | None:
-        if tombstones is None:
-            return None
-        t_ids, t_gens = tombstones
-        excl = t_ids[t_gens > gen]
-        return excl if excl.size else None
+    empty = pd.DataFrame(
+        {
+            "doc_id": pd.Series([], dtype="int64"),
+            "score": pd.Series([], dtype="float64"),
+        }
+    )
 
-    def score_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {
-                "doc_id": pd.Series([], dtype="int64"),
-                "score": pd.Series([], dtype="float64"),
-            }
-        )
+    def _term_keys(cand, tl, P):
+        """Sorted (cand_rank * P + position) keys of a term's occurrences in
+        the candidate docs (docs without the term contribute nothing)."""
+        ids, tfs, _dls, pos_flat = tl
+        if ids.size == 0:
+            return np.empty(0, dtype=np.int64)
+        loc = np.searchsorted(ids, cand)
+        valid = (loc < ids.size) & (ids[np.minimum(loc, ids.size - 1)] == cand)
+        order = loc[valid]
+        sub_pos = gather_groups(pos_flat, tfs, order)
+        ranks = np.nonzero(valid)[0]
+        return np.repeat(ranks, tfs[order]) * P + sub_pos
+
+    def _phrase_mask(cand, lists, phrase, P):
+        """Boolean mask over cand: doc contains the phrase in order."""
+        mask = np.zeros(cand.shape[0], dtype=bool)
+        if any(t not in lists for t in phrase):
+            return mask
+        S = _term_keys(cand, lists[phrase[0]], P)
+        for i, t in enumerate(phrase[1:], start=1):
+            if S.size == 0:
+                break
+            S = S[_member(_term_keys(cand, lists[t], P), S + i)]
+        if S.size:
+            mask[(S // P).astype(np.int64)] = True
+        return mask
+
+    def score_chunk(pdf: pd.DataFrame, aux: pd.DataFrame | None = None) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return empty
+        tomb_ids = tomb_gens = None
+        allow_ids = None
+        if aux is not None and len(aux):
+            t = aux[aux["kind"] == "tomb"]
+            if len(t):
+                tomb_ids = t["doc_id"].to_numpy(dtype=np.int64)
+                tomb_gens = t["before_gen"].to_numpy(dtype=np.int64)
+            a = aux[aux["kind"] == "allow"]
+            if len(a):
+                allow_ids = np.sort(a["doc_id"].to_numpy(dtype=np.int64))
+        if filter_active and allow_ids is None:
+            return empty  # filter active, nothing allowed in this chunk
+
         idf_of: dict[str, float] = {}
         per_term_max: dict[str, float] = {}
-        for t, mi, idf in zip(pdf["term"], pdf["max_impact"], pdf["idf"]):
-            if t in neg_set:
+        seen_terms = set()
+        for t, bi, idf in zip(pdf["term"], pdf["bound_imp"], pdf["idf"]):
+            seen_terms.add(t)
+            if t not in pos_set:
                 continue
             idf_of[t] = float(idf)
-            if mi > per_term_max.get(t, 0.0):
-                per_term_max[t] = mi
+            if bi > per_term_max.get(t, 0.0):
+                per_term_max[t] = bi
         if len(per_term_max) < len(pos_sorted):
             return empty  # conjunctive: some positive term absent
+        # positive phrases also need every phrase term present in the chunk
+        for ph in pq.phrases:
+            if any(t not in seen_terms for t in ph):
+                return empty
         bound = sum(idf_of[t] * m for t, m in per_term_max.items())
         if bound < tau:  # ties kept: equal-score docs can win on doc_id
             return empty
 
         pdf = pdf.sort_values(["term", "gen", "first_doc"], kind="mergesort")
-        lists: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+        lists: dict[str, tuple] = {}
         for term, grp in pdf.groupby("term", sort=False):
-            p_ids, p_tfs, p_dls = [], [], []
-            is_neg = term in neg_set
+            want_score = term in pos_set
+            want_pos = term in phrase_terms
+            p_ids, p_tfs, p_dls, p_pos = [], [], [], []
             for gen, g2 in grp.groupby("gen", sort=True):
                 ids = np.concatenate(
                     [delta_decode(x) for x in g2["docs_bin"]]
                 ).astype(np.int64)
-                tfs = dls = None
-                if not is_neg:
-                    tfs = np.concatenate(
-                        [varint_decode(x) for x in g2["tfs_bin"]]
-                    ).astype(np.float64)
+                tfs = np.concatenate(
+                    [varint_decode(x) for x in g2["tfs_bin"]]
+                ).astype(np.int64)
+                dls = pos_flat = None
+                if want_score:
                     dls = np.concatenate(
                         [varint_decode(x) for x in g2["dls_bin"]]
                     ).astype(np.float64)
-                excl = _gen_exclusions(int(gen))
-                if excl is not None:
-                    keep = ~np.isin(ids, excl)
-                    ids = ids[keep]
-                    if not is_neg:
-                        tfs, dls = tfs[keep], dls[keep]
+                if want_pos:
+                    # varints are self-delimiting: concat buffers, decode once
+                    pos_flat = grouped_delta_decode(
+                        b"".join(g2["pos_bin"]), tfs
+                    )
+                if tomb_ids is not None:
+                    excl = tomb_ids[tomb_gens > int(gen)]
+                    if excl.size:
+                        keep = ~np.isin(ids, excl)
+                        if want_pos:
+                            pos_flat = filter_groups(pos_flat, tfs, keep)
+                        ids, tfs = ids[keep], tfs[keep]
+                        if want_score:
+                            dls = dls[keep]
                 p_ids.append(ids)
-                if not is_neg:
-                    p_tfs.append(tfs)
+                p_tfs.append(tfs)
+                if want_score:
                     p_dls.append(dls)
+                if want_pos:
+                    p_pos.append(pos_flat)
             ids = np.concatenate(p_ids) if p_ids else np.empty(0, dtype=np.int64)
-            if is_neg:
-                lists[term] = (np.sort(ids), None, None)
-                continue
-            tfs = np.concatenate(p_tfs)
-            dls = np.concatenate(p_dls)
+            tfs = np.concatenate(p_tfs) if p_tfs else np.empty(0, dtype=np.int64)
             # after per-gen tombstoning each doc survives in exactly one
             # generation; re-sort the merged list by doc_id
             order = np.argsort(ids, kind="stable")
-            lists[term] = (ids[order], tfs[order], dls[order])
+            pos_flat = None
+            if want_pos:
+                pos_flat = gather_groups(np.concatenate(p_pos), tfs, order)
+            dls = np.concatenate(p_dls)[order] if want_score else None
+            lists[term] = (ids[order], tfs[order], dls, pos_flat)
 
         # AND intersection, smallest list first
         cand = None
-        for t in sorted(pos_sorted, key=lambda t: len(lists[t][0])):
+        for t in sorted(pos_sorted, key=lambda t: lists[t][0].size):
             ids = lists[t][0]
             cand = ids if cand is None else cand[np.isin(cand, ids, assume_unique=True)]
             if cand.size == 0:
                 return empty
+        if allow_ids is not None:
+            cand = cand[_member(allow_ids, cand)]
         for t in neg_set:
             if t in lists:
                 cand = cand[~np.isin(cand, lists[t][0], assume_unique=True)]
         if cand.size == 0:
             return empty
 
+        if pq.phrases or pq.neg_phrases:
+            # P strides the doc-rank keyspace past any in-doc position; every
+            # candidate doc appears in every positive term's list, so the max
+            # dl over positive lists bounds every candidate position
+            max_dl = 0
+            for t in pos_sorted:
+                dls = lists[t][2]
+                if dls is not None and dls.size:
+                    max_dl = max(max_dl, int(dls.max()))
+            P = np.int64(max_dl + max_phrase_len + 2)
+            for ph in pq.phrases:
+                cand = cand[_phrase_mask(cand, lists, ph, P)]
+                if cand.size == 0:
+                    return empty
+            for ph in pq.neg_phrases:
+                cand = cand[~_phrase_mask(cand, lists, ph, P)]
+                if cand.size == 0:
+                    return empty
+
         scores = np.zeros(cand.shape[0], dtype=np.float64)
         for t in pos_sorted:
-            ids, tfs, dls = lists[t]
+            ids, _tfs, dls, _pos = lists[t]
             pos = np.searchsorted(ids, cand)
-            tf = tfs[pos]
+            tf = lists[t][1][pos].astype(np.float64)
             dl = dls[pos]
             impact = (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
             scores += idf_of[t] * impact
@@ -165,27 +290,75 @@ def _make_chunk_scorer(
     return score_chunk
 
 
+def _chunk_of_doc(chunk_docs: int):
+    """FLOOR division chunk key, exact in integer arithmetic — must agree
+    with the encoder's numpy `ids // chunk_docs` for negative doc ids too
+    (xxhash64-derived ids are full-range int64), and must not round through
+    a double (precision loss past 2^53)."""
+    return F.expr(
+        f"(doc_id - pmod(doc_id, {chunk_docs}L)) div {chunk_docs}L"
+    ).alias("chunk")
+
+
+def _aux_frames(
+    index: IndexReader, filter_docs: DataFrame | None
+) -> DataFrame | None:
+    """Tombstones + allowed-doc filter as one chunk-keyed aux DataFrame
+    (cogrouped with the posting blocks — never collected to the driver)."""
+    chunk_docs = index.chunk_docs
+    parts = []
+    tomb = index.tombstones()
+    if tomb is not None:
+        parts.append(
+            tomb.select(
+                _chunk_of_doc(chunk_docs),
+                "doc_id",
+                F.col("before_gen").cast("long").alias("before_gen"),
+                F.lit("tomb").alias("kind"),
+            )
+        )
+    if filter_docs is not None:
+        parts.append(
+            filter_docs.select(
+                _chunk_of_doc(chunk_docs),
+                "doc_id",
+                F.lit(-1).cast("long").alias("before_gen"),
+                F.lit("allow").alias("kind"),
+            )
+        )
+    if not parts:
+        return None
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def wand_topk(
     index: IndexReader,
     query_text: str,
     k: int = 13,
     offset: int = 0,
     first_batch_chunks: int = 16,
+    filter_docs: DataFrame | None = None,
+    pq: ParsedQuery | None = None,
 ) -> DataFrame:
-    """Block-max top-k; rank-identical to exact_topk. Returns doc_id, score, rank."""
-    pq: ParsedQuery = parse_query(query_text, index.analyzer)
+    """Block-max top-k; rank-identical to exact_topk. Returns doc_id, score,
+    rank. `filter_docs` (doc_id) restricts results to that set, applied
+    inside the chunk kernel before any truncation (full pages guaranteed —
+    no overfetch heuristics). `pq` overrides query parsing (used by the
+    field-scoped path, whose terms carry a path-prefix namespace)."""
+    pq = pq if pq is not None else parse_query(query_text, index.analyzer)
     if not pq.terms:
         raise ValueError("query has no positive terms")
-    if pq.phrases or pq.neg_phrases:
-        # phrase verification needs stored text — route through the exact plan
-        from .bm25 import exact_topk
-
-        return exact_topk(index, query_text, k=k, offset=offset)
 
     spark = index.spark
     n_keep = offset + k
-    all_terms = list(dict.fromkeys(pq.terms + pq.neg_terms))
+    has_phrases = bool(pq.phrases or pq.neg_phrases)
+    phrase_terms = [t for ph in (pq.phrases + pq.neg_phrases) for t in ph]
+    all_terms = list(dict.fromkeys(pq.terms + pq.neg_terms + tuple(phrase_terms)))
     n = index.n_docs
+    k1, b, avgdl = index.k1, index.b, index.avgdl
 
     # per-query stats slice, idf in-plan; broadcast to the block join
     stats = (
@@ -199,37 +372,44 @@ def wand_topk(
             ).alias("idf"),
         )
     )
+    cols = ["term", "chunk", "first_doc", "docs_bin", "tfs_bin", "dls_bin",
+            "max_tf", "min_dl", "gen"]
+    if has_phrases:
+        cols.append("pos_bin")  # positions read only when a phrase needs them
     blocks = (
         index.postings()
         .filter(F.col("term").isin(all_terms))
-        .select(
-            "term", "chunk", "first_doc", "docs_bin", "tfs_bin", "dls_bin",
-            "max_impact", "gen",
-        )
+        .select(*cols)
         .join(F.broadcast(stats), "term", "left")
+        .withColumn("bound_imp", impact_bound_col(k1, b, avgdl))
     )
+    if not has_phrases:
+        blocks = blocks.withColumn("pos_bin", F.lit(None).cast("binary"))
 
-    # tombstones are excluded *inside* the chunk scorer (before local top-n
-    # truncation) — a deleted doc must not crowd out a live one. The set is
-    # small by construction (compaction bounds it; streaming/incremental).
-    tomb = index.tombstones()
-    tomb_ids = None
-    if tomb is not None:
-        rows = tomb.collect()
-        tomb_ids = (
-            np.array([r["doc_id"] for r in rows], dtype=np.int64),
-            np.array([r["before_gen"] for r in rows], dtype=np.int64),
-        )
+    aux = _aux_frames(index, filter_docs)
+    filter_active = filter_docs is not None
 
     def _score(chunk_ids_df: DataFrame | None, tau: float) -> list:
         sel = blocks
         if chunk_ids_df is not None:
             sel = blocks.join(F.broadcast(chunk_ids_df), "chunk", "left_semi")
-        scorer = _make_chunk_scorer(
-            pq.terms, pq.neg_terms, index.k1, index.b, index.avgdl,
-            n_keep, tau, tomb_ids,
-        )
-        scored = sel.groupBy("chunk").applyInPandas(scorer, schema=CHUNK_SCORES_SCHEMA)
+        scorer = _make_chunk_scorer(pq, k1, b, avgdl, n_keep, tau, filter_active)
+        if aux is None:
+            scored = sel.groupBy("chunk").applyInPandas(
+                lambda pdf: scorer(pdf, None), schema=CHUNK_SCORES_SCHEMA
+            )
+        else:
+            aux_sel = aux
+            if chunk_ids_df is not None:
+                aux_sel = aux.join(F.broadcast(chunk_ids_df), "chunk", "left_semi")
+            scored = (
+                sel.groupBy("chunk")
+                .cogroup(aux_sel.groupBy("chunk"))
+                .applyInPandas(
+                    lambda left, right: scorer(left, right),
+                    schema=CHUNK_SCORES_SCHEMA,
+                )
+            )
         return (
             scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(n_keep).collect()
         )
@@ -256,7 +436,7 @@ def wand_topk(
     chunk_bounds = (
         blocks.filter(F.col("idf").isNotNull())
         .groupBy("chunk", "term")
-        .agg(F.max("max_impact").alias("mi"), F.first("idf").alias("idf"))
+        .agg(F.max("bound_imp").alias("mi"), F.first("idf").alias("idf"))
         .groupBy("chunk")
         .agg(
             F.count("*").alias("nt"),

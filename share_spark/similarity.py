@@ -58,26 +58,76 @@ def knn_bruteforce(
     )
 
 
+def _plane_weight(p: int, d: int) -> float:
+    """Deterministic +-1 weight for (plane, dim): md5-derived so the same
+    plane set is reproducible in ANY engine (the DuckDB oracle computes
+    identical signatures)."""
+    import hashlib
+
+    h = hashlib.md5(f"p{p}#{d}".encode()).hexdigest()
+    return 1.0 if int(h[0], 16) % 2 == 0 else -1.0
+
+
+def _plane_matrix(n_planes: int, dim: int) -> "np.ndarray":
+    import numpy as np
+
+    return np.array(
+        [[_plane_weight(p, d) for d in range(dim)] for p in range(n_planes)],
+        dtype=np.float64,
+    )
+
+
+# past this many plan literals, fold weights into a broadcast numpy matrix
+# instead of the Catalyst expression tree (dim 1024 x 64 planes = 65k
+# literals would explode analysis/codegen time)
+_LSH_LITERAL_BUDGET = 2048
+
+
 def lsh_signature(
-    embeddings: DataFrame, n_planes: int = 8, vec_col: str = "embedding"
+    embeddings: DataFrame,
+    n_planes: int = 8,
+    vec_col: str = "embedding",
+    force_udf: bool | None = None,
 ) -> DataFrame:
     """Random-hyperplane signature: bit p = 1 if sum_d w(p,d)*v[d] >= 0,
     with w(p,d) = +1 if md5('p{p}#{d}') first hex digit is even else -1.
 
-    Implemented with transform+aggregate over the array — JVM-side; the
-    weights are folded to literals at plan time (n_planes * dim literals)."""
-    import hashlib
+    Two physical strategies, same logical result:
+    - small n_planes*dim: transform+aggregate with literal weights — pure
+      JVM, whole-stage codegen, sequential fold (bit-matches the DuckDB
+      oracle's sum order).
+    - large n_planes*dim: Arrow-batched pandas UDF with the weight matrix in
+      the UDF closure (one numpy matmul per batch) — production embedding
+      dims never enter the Catalyst plan.
+    """
+    import numpy as np
+    import pandas as pd
 
     dim_probe = embeddings.select(F.size(vec_col).alias("d")).first()
     dim = int(dim_probe["d"])
+    use_udf = (
+        force_udf
+        if force_udf is not None
+        else (n_planes * dim > _LSH_LITERAL_BUDGET)
+    )
 
-    def w(p: int, d: int) -> float:
-        h = hashlib.md5(f"p{p}#{d}".encode()).hexdigest()
-        return 1.0 if int(h[0], 16) % 2 == 0 else -1.0
+    if use_udf:
+        W = _plane_matrix(n_planes, dim).T  # (dim, n_planes)
+        shifts = (np.int64(1) << np.arange(n_planes, dtype=np.int64))
+
+        @F.pandas_udf("long")
+        def _sig(v: pd.Series) -> pd.Series:
+            if len(v) == 0:
+                return pd.Series([], dtype="int64")
+            M = np.stack(v.to_numpy()).astype(np.float64)  # (batch, dim)
+            bits = (M @ W) >= 0.0
+            return pd.Series((bits * shifts).sum(axis=1).astype(np.int64))
+
+        return embeddings.withColumn("lsh_bucket", _sig(F.col(vec_col)))
 
     sig = F.lit(0).cast("long")
     for p in range(n_planes):
-        weights = F.array(*[F.lit(w(p, d)) for d in range(dim)])
+        weights = F.array(*[F.lit(_plane_weight(p, d)) for d in range(dim)])
         proj = F.aggregate(
             F.zip_with(F.col(vec_col), weights, lambda x, ww: x.cast("double") * ww),
             F.lit(0.0),

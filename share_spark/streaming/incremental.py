@@ -32,7 +32,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..index.build import IndexConfig, IndexReader, build_index
+from ..index.build import IndexConfig, IndexReader, build_index, register_generation
 
 
 def _manifest(index_dir: str) -> dict:
@@ -49,37 +49,43 @@ def apply_incremental(
 ) -> dict:
     """Index a batch of new/changed pages as a new generation + tombstones.
 
-    Returns the new generation's manifest. The tombstone write and manifest
-    update happen after the generation build completes, so a crash mid-build
-    leaves the old index fully consistent (the new gen is invisible until
-    registered)."""
+    Returns the new generation's manifest. Commit order is crash-safe:
+    (1) build the generation directory UNREGISTERED, (2) merge tombstones for
+    the replaced docs, (3) atomically register the generation in the
+    top-level manifest. A crash after (1) or (2) leaves the new gen invisible
+    (queries see exactly the old index — early tombstones in (2) only name
+    `before_gen = generation`, which no reader resolves until (3) registers
+    it, and before_gen semantics kill docs only in generations < it, so the
+    old copies stay live); only (3) makes the swap, and it is a single
+    os.replace."""
     cfg = cfg or IndexConfig()
     man = _manifest(index_dir)
+    older_gens = list(man["generations"])
     if generation is None:
-        generation = max(man["generations"]) + 1
+        generation = max(older_gens) + 1
 
     # doc ids being replaced (same derivation as build_docs: doc_id column
     # if present, else xxhash64(url))
     if "doc_id" in changed_pages.columns:
-        new_ids = changed_pages.select("doc_id")
+        new_ids = changed_pages.select("doc_id").distinct()
     else:
-        new_ids = changed_pages.select(F.xxhash64("url").alias("doc_id"))
+        new_ids = changed_pages.select(
+            F.xxhash64("url").alias("doc_id")
+        ).distinct()
 
     gen_manifest = build_index(
-        spark, changed_pages, index_dir, cfg, generation=generation
+        spark, changed_pages, index_dir, cfg, generation=generation,
+        register=False,
     )
 
     # tombstone doc_ids that exist in OLDER generations: they die in every
     # generation < this one (generation-scoped, so the new segment's copy of
     # the doc stays live — Lucene per-segment deletes)
-    reader = IndexReader.open(spark, index_dir)
-    older_docs = [
-        g["generation"] for g in reader.gen_manifests if g["generation"] < generation
-    ]
-    if older_docs:
+    older = [g for g in older_gens if g < generation]
+    if older:
         old_ids = (
             spark.read.parquet(
-                *[os.path.join(index_dir, f"gen{g}", "docs") for g in older_docs]
+                *[os.path.join(index_dir, f"gen{g}", "docs") for g in older]
             )
             .select("doc_id")
             .join(new_ids, "doc_id", "left_semi")
@@ -87,6 +93,7 @@ def apply_incremental(
             .withColumn("before_gen", F.lit(generation))
         )
         _merge_tombstones(spark, index_dir, old_ids)
+    register_generation(index_dir, generation, cfg)
     return gen_manifest
 
 

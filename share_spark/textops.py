@@ -118,6 +118,57 @@ def jaccard_pairs(
     )
 
 
+def jaccard_verify(
+    docs: DataFrame,
+    pairs: DataFrame,
+    threshold: float = 0.5,
+    n: int = 1,
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact n-gram Jaccard restricted to CANDIDATE pairs (doc_a, doc_b) —
+    the verify stage of the scale-safe dedup plan (LSH candidates -> exact
+    verify). Shingles are computed only for docs appearing in a pair
+    (semi-join pushdown); the join fans out |pairs| x grams-per-doc, never
+    the corpus-quadratic token self-join of jaccard_pairs."""
+    cand_docs = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sub = docs.join(cand_docs, "doc_id", "left_semi")
+    rows = token_set(sub, text_col) if n == 1 else ngram_rows(sub, n, text_col)
+    if n > 1:
+        rows = rows.withColumnRenamed("ngram", "token")
+    sizes = rows.groupBy("doc_id").agg(F.count("*").alias("set_size"))
+    ga = rows.select(F.col("doc_id").alias("doc_a"), "token")
+    gb = rows.select(
+        F.col("doc_id").alias("_doc_b2"), F.col("token").alias("_token_b")
+    )
+    inter = (
+        pairs.select("doc_a", "doc_b")
+        .join(ga, "doc_a")
+        .join(
+            gb,
+            (F.col("doc_b") == F.col("_doc_b2"))
+            & (F.col("token") == F.col("_token_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("set_size").alias("size_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
 def minhash_signatures(
     docs: DataFrame, n_perm: int = 16, text_col: str = "text"
 ) -> DataFrame:

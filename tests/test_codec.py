@@ -48,3 +48,46 @@ def test_delta_compresses_dense_runs():
     enc = delta_encode(ids)
     # gaps of 1 -> 1 byte each (+2 for the absolute first value)
     assert len(enc) <= 10_000 + 2
+
+
+def test_grouped_delta_roundtrip_property():
+    from share_spark.index.codec import (
+        delta_encode_blocks,
+        grouped_delta_decode,
+    )
+
+    rng = np.random.default_rng(7)
+    for _ in range(20):
+        n_groups = int(rng.integers(1, 30))
+        lengths = rng.integers(1, 12, size=n_groups)
+        flats = []
+        for ln in lengths:
+            # ascending positions within a group (arbitrary start)
+            start = int(rng.integers(0, 50))
+            flats.append(start + np.cumsum(rng.integers(0, 9, size=ln)))
+        flat = np.concatenate(flats).astype(np.int64)
+        starts = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+        ends = np.cumsum(lengths)
+        bufs = delta_encode_blocks(flat, starts, ends)
+        # buffers are self-delimiting: concat + one decode call
+        got = grouped_delta_decode(b"".join(bufs), lengths)
+        np.testing.assert_array_equal(got, flat)
+
+
+def test_gather_and_filter_groups():
+    from share_spark.index.codec import filter_groups, gather_groups
+
+    flat = np.array([0, 1, 2, 10, 20, 21, 30], dtype=np.int64)
+    lengths = np.array([3, 1, 2, 1], dtype=np.int64)
+    order = np.array([2, 0, 3, 1])
+    np.testing.assert_array_equal(
+        gather_groups(flat, lengths, order),
+        np.array([20, 21, 0, 1, 2, 30, 10]),
+    )
+    keep = np.array([True, False, True, False])
+    np.testing.assert_array_equal(
+        filter_groups(flat, lengths, keep), np.array([0, 1, 2, 20, 21])
+    )
+    # empty order / all-dropped
+    assert gather_groups(flat, lengths, np.array([], dtype=int)).size == 0
+    assert filter_groups(flat, lengths, np.zeros(4, dtype=bool)).size == 0

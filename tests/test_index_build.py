@@ -52,17 +52,54 @@ def test_blocks_are_sorted_chunk_aligned_and_sized(built_index):
             assert b1 < a2, f"overlapping blocks for {term}"
 
 
-def test_block_max_impact_is_true_max(built_index):
+def test_block_bound_metadata_dominates_any_avgdl(built_index):
+    """(max_tf, min_dl) must upper-bound every posting's impact under ANY
+    avgdl the multi-generation index may later converge to — the stale-bound
+    bug class: a bound baked with one generation's avgdl can under-estimate
+    impact once the global avgdl grows."""
     k1 = built_index.k1
     b = built_index.b
-    avgdl = built_index.avgdl
     from share_spark.index.codec import varint_decode
 
-    for r in built_index.postings().limit(200).collect():
-        tf = varint_decode(r["tfs_bin"]).astype(float)
-        dl = varint_decode(r["dls_bin"]).astype(float)
-        impact = (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dl / avgdl))
-        assert np.isclose(r["max_impact"], impact.max())
+    for avgdl in (built_index.avgdl, built_index.avgdl * 3, built_index.avgdl / 3):
+        for r in built_index.postings().limit(200).collect():
+            tf = varint_decode(r["tfs_bin"]).astype(float)
+            dl = varint_decode(r["dls_bin"]).astype(float)
+            assert r["max_tf"] == tf.max()
+            assert r["min_dl"] == dl.min()
+            impact = (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dl / avgdl))
+            bound = (r["max_tf"] * (k1 + 1)) / (
+                r["max_tf"] + k1 * (1 - b + b * r["min_dl"] / avgdl)
+            )
+            assert bound >= impact.max() - 1e-12
+
+
+def test_positions_roundtrip(built_index, pages_pdf):
+    """Positional runs must decode back to the analyzer's token offsets."""
+    from share_spark.analysis import tokenize
+    from share_spark.extract import extract_text
+    from share_spark.index.codec import grouped_delta_decode, varint_decode
+
+    # expected positions from the frozen analyzer
+    expected: dict[tuple[str, int], list[int]] = {}
+    for r in pages_pdf.head(40).itertuples():
+        toks = tokenize(extract_text(r.html, r.text), "standard")
+        for i, t in enumerate(toks):
+            expected.setdefault((t, int(r.doc_id)), []).append(i)
+
+    checked = 0
+    for blk in built_index.postings().filter("first_doc < 40").collect():
+        ids = np.cumsum(varint_decode(blk["docs_bin"])).astype(np.int64)
+        tfs = varint_decode(blk["tfs_bin"]).astype(np.int64)
+        flat = grouped_delta_decode(blk["pos_bin"], tfs)
+        offs = np.concatenate(([0], np.cumsum(tfs)))
+        for i, d in enumerate(ids):
+            if d >= 40:
+                continue
+            got = flat[offs[i] : offs[i + 1]].tolist()
+            assert got == expected[(blk["term"], int(d))]
+            checked += 1
+    assert checked > 100
 
 
 def test_manifest_partition_metrics(built_index):
