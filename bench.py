@@ -73,9 +73,10 @@ def run(spark=None, emit=True) -> dict:
     postings = sum(p["n_postings"] for p in manifest["partitions"].values())
 
     # --- query latency over the reference query set ----------------------
+    # phrases included: they run natively through the positional index now
     idx = IndexReader.open(spark, idx_dir)
     lat = []
-    queries = [q for q in make_queries(N_QUERIES) if '"' not in q["query_text"]]
+    queries = list(make_queries(N_QUERIES))
     # warmup (JVM/codegen)
     wand_topk(idx, "data science", k=13).collect()
     for q in queries:
@@ -102,6 +103,28 @@ def run(spark=None, emit=True) -> dict:
         )
     qps_wall = time.time() - t0
     results["query_concurrent_qps"] = round(len(queries) / qps_wall, 2)
+
+    # --- serving tier: same queries, same scoring kernel, no Spark jobs ---
+    # (the deployment split: Spark builds, the serving tier answers — like
+    # the reference's Django-builds / ES-serves split)
+    from share_spark.query.serve import TopKServer
+
+    srv = TopKServer.open(idx_dir)
+    srv.topk("data science", k=13)  # warm the term cache / imports
+    slat = []
+    for q in queries:
+        t0 = time.time()
+        srv.topk(q["query_text"], k=q["k"])
+        slat.append(time.time() - t0)
+    slat.sort()
+    results["serve_p50"] = round(slat[len(slat) // 2], 4)
+    results["serve_p95"] = round(
+        slat[min(len(slat) - 1, int(len(slat) * 0.95))], 4
+    )
+    t0 = time.time()
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        list(pool.map(lambda q: srv.topk(q["query_text"], k=q["k"]), queries))
+    results["serve_qps"] = round(len(queries) / (time.time() - t0), 1)
 
     # --- pipeline ops over the driver tables ------------------------------
     from share_spark.queries import QUERIES
@@ -133,6 +156,8 @@ def run(spark=None, emit=True) -> dict:
         "build_docs_per_sec": round(docs_per_sec, 1),
         "build_postings_per_sec": round(postings / build_s, 1),
         "query_p95_ms": round(p95 * 1000, 1),
+        "serve_p95_ms": round(results["serve_p95"] * 1000, 1),
+        "serve_qps": results["serve_qps"],
         "n_bench_docs": manifest["n_docs"],
         "cpus": CPUS,
     }

@@ -475,10 +475,18 @@ def build_index(
     stats_path = _stage_dir(gdir, "term_stats")
     postings_path = _stage_dir(gdir, "postings")
 
+    def _refresh(path: str) -> None:
+        # Spark's session-wide FileStatusCache never expires by default; an
+        # overwrite to a previously-read path (resume, compaction, generation
+        # rebuild on streaming replay) would otherwise serve a stale file
+        # listing to the next read.parquet on the same path.
+        spark.catalog.refreshByPath(path)
+
     # stage 1: docs (extract + doc_len)
     if not (resume and _stage_done(gdir, "docs")):
         docs = build_docs(spark, pages, cfg.analyzer)
         docs.write.mode("overwrite").parquet(docs_path)
+        _refresh(docs_path)
         _mark_done(gdir, "docs")
     _lap("docs")
     docs = spark.read.parquet(docs_path)
@@ -517,6 +525,7 @@ def build_index(
             .write.mode("overwrite")
             .parquet(postings_path)
         )
+        _refresh(postings_path)
         _mark_done(gdir, "postings")
     _lap("postings")
 
@@ -536,6 +545,7 @@ def build_index(
             .write.mode("overwrite")
             .parquet(stats_path)
         )
+        _refresh(stats_path)
         _mark_done(gdir, "term_stats")
     _lap("term_stats")
 

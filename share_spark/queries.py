@@ -147,6 +147,25 @@ def _wand_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _serve_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same query through the SERVING tier (query/serve.py): parquet
+    row-group-pruned reads + the WAND numpy kernel, zero Spark jobs — the
+    oracle proves it rank-identical to the distributed paths."""
+    from .query.serve import TopKServer
+
+    _indexed(spark, sf_dir)  # ensure the index exists
+    srv = TopKServer.open(_INDEX_CACHE[os.path.abspath(sf_dir)])
+    rows = srv.topk(" ".join(BM25_TERMS), k=BM25_K + 10)
+    df = spark.createDataFrame(
+        [(d, s) for d, s, _ in rows], "doc_id long, score double"
+    )
+    return (
+        df.select("doc_id", F.round("score", 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(BM25_K)
+    )
+
+
 def _ft_and(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     toks = F.split("text", " ")
@@ -624,6 +643,67 @@ def _ft_scoped_title(spark, sf_dir):
     )
 
 
+def _rdf_extract_engine(spark, sf_dir):
+    """Turtle ingest end-to-end: build a turtle document per row (JVM
+    concat), parse + GraphWalk in the vectorized extractor (rdf.py), emit
+    the long doc_values rows; the oracle computes the same rows directly
+    from the source columns — proving the parse/walk round-trips."""
+    from .rdf import extract_doc_values
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    created = F.date_format(
+        F.date_add(F.lit("1995-01-01").cast("date"), (F.col("doc_id") % 2000).cast("int")),
+        "yyyy-MM-dd",
+    )
+    ttl = F.concat(
+        F.lit("@prefix dcterms: <http://purl.org/dc/terms/> . "
+              "@prefix osf: <https://osf.example/vocab/> . "
+              "<https://card.example/"), d, F.lit("> "),
+        F.lit('dcterms:title "Doc '), d, F.lit('" ; '),
+        F.lit("dcterms:subject <https://subj.example/s"),
+        (F.col("doc_id") % 50).cast("string"), F.lit("> ; "),
+        F.lit('dcterms:created "'), created,
+        F.lit('"^^<http://www.w3.org/2001/XMLSchema#date> ; '),
+        F.lit("osf:downloads "), F.col("n_chars").cast("string"), F.lit(" . "),
+    )
+    src = docs.select(
+        "doc_id",
+        F.concat(F.lit("https://card.example/"), d).alias("focus_iri"),
+        ttl.alias("turtle"),
+    )
+    rows = extract_doc_values(src)
+    return rows.select(
+        "doc_id",
+        "path_key",
+        "value_type",
+        F.coalesce(
+            "iri_value",
+            "text_value",
+            F.col("date_value").cast("string"),
+            F.col("int_value").cast("string"),
+        ).alias("val"),
+    )
+
+
+_RDF_EXTRACT_ORACLE = """
+SELECT doc_id, '["dcterms:title"]' AS path_key, 'text' AS value_type,
+       'Doc ' || CAST(doc_id AS VARCHAR) AS val
+FROM documents
+UNION ALL
+SELECT doc_id, '["dcterms:subject"]', 'iri',
+       'https://subj.example/s' || CAST(doc_id % 50 AS VARCHAR)
+FROM documents
+UNION ALL
+SELECT doc_id, '["dcterms:created"]', 'date',
+       strftime(DATE '1995-01-01' + CAST(doc_id % 2000 AS INT), '%Y-%m-%d')
+FROM documents
+UNION ALL
+SELECT doc_id, '["osf:downloads"]', 'int', CAST(n_chars AS VARCHAR)
+FROM documents
+"""
+
+
 # ------------------------------------------------------- scalar / misc ops
 
 def _iri_normalize(spark, sf_dir):
@@ -655,6 +735,7 @@ QUERIES = {
     # full-text plane (SURVEY.md §2.8, §2.5)
     "ft_bm25_topk": _inline_bm25,
     "ft_bm25_wand": _wand_bm25,
+    "ft_bm25_serve": _serve_bm25,
     "ft_and_terms": _ft_and,
     "ft_or_any": _ft_or,
     "ft_not": _ft_not,
@@ -681,6 +762,7 @@ QUERIES = {
     "ft_filtered_topk": _ft_filtered_topk,
     "ft_phrase_rank": _ft_phrase_rank,
     "ft_scoped_title": _ft_scoped_title,
+    "rdf_extract_values": _rdf_extract_engine,
     "feed_recent": _feed_recent,
     "latest_event_per_user": _latest_event_per_user,
     "total_saturating": _total_saturating,
@@ -981,6 +1063,7 @@ FROM proj GROUP BY vec_id
 ORACLES = {
     "ft_bm25_topk": _BM25_ORACLE,
     "ft_bm25_wand": _BM25_ORACLE,
+    "ft_bm25_serve": _BM25_ORACLE,
     "ft_and_terms": (
         "SELECT doc_id FROM documents WHERE "
         "list_contains(string_split(text,' '),'window') AND "
@@ -1154,6 +1237,7 @@ ORACLES = {
     "ft_filtered_topk": _FT_FILTERED_ORACLE,
     "ft_phrase_rank": _FT_PHRASE_RANK_ORACLE,
     "ft_scoped_title": _FT_SCOPED_ORACLE,
+    "rdf_extract_values": _RDF_EXTRACT_ORACLE,
     "iri_normalize": """
         SELECT doc_id,
           CASE WHEN u LIKE '%/' THEN substr(nrm, 1, length(nrm) - 1) ELSE nrm

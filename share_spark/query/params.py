@@ -59,6 +59,70 @@ class CardsearchParams:
 
 
 @dataclass(frozen=True)
+class TroveRenderParams:
+    """Render-level params (trove/util/trove_params.py:44-117):
+    blendCards, iriShorthand[short]=iri, include=path,path,
+    fields[TYPE]=path,path (bare fields= means fields[*])."""
+
+    blend_cards: bool = False
+    iri_shorthand: tuple[tuple[str, str], ...] = ()
+    included_relations: tuple[str, ...] = ()
+    attrpaths_by_type: tuple[tuple[str, tuple[str, ...]], ...] = ()
+
+    def shorthand_map(self) -> dict[str, str]:
+        return dict(self.iri_shorthand)
+
+    def fields_for(self, typename: str) -> tuple[str, ...] | None:
+        """Requested attribute paths for a type ('*' applies to any);
+        None = no fields restriction."""
+        m = dict(self.attrpaths_by_type)
+        if typename in m:
+            return m[typename]
+        if "*" in m:
+            return m["*"]
+        return None
+
+
+_SHORTHAND_RE = re.compile(r"^iriShorthand\[([^\]]+)\]$")
+_FIELDS_RE = re.compile(r"^fields(?:\[([^\]]*)\])?$")
+
+_TRUTHY = {"", "true", "1", "yes"}  # _qp.get_bool_value: presence is truthy
+
+
+def parse_render_params(querystring: str) -> TroveRenderParams:
+    pairs = parse_qsl(querystring, keep_blank_values=True)
+    blend = False
+    shorthand: list[tuple[str, str]] = []
+    include: list[str] = []
+    fields: dict[str, list[str]] = {}
+    for key, val in pairs:
+        if key == "blendCards":
+            blend = val.lower() in _TRUTHY
+            continue
+        sm = _SHORTHAND_RE.match(key)
+        if sm:
+            shorthand.append((sm.group(1), val))
+            continue
+        if key == "include":
+            include.extend(p for p in val.split(",") if p)
+            continue
+        fm = _FIELDS_RE.match(key)
+        if fm:
+            # omitted brackets = fields[*]; brackets may list several types
+            typenames = (fm.group(1) or "*").split(",")
+            for t in typenames:
+                fields.setdefault(t or "*", []).extend(
+                    p for p in val.split(",") if p
+                )
+    return TroveRenderParams(
+        blend_cards=blend,
+        iri_shorthand=tuple(shorthand),
+        included_relations=tuple(include),
+        attrpaths_by_type=tuple((t, tuple(v)) for t, v in fields.items()),
+    )
+
+
+@dataclass(frozen=True)
 class ValuesearchParams:
     value_path: str = ""
     cardsearch: CardsearchParams = field(default_factory=CardsearchParams)
@@ -84,7 +148,16 @@ def _parse_filters(pairs, regex) -> list[SearchFilter]:
             path, op = inner, DEFAULT_OP
         # propertypath shorthand: comma-separated path segments; multiple
         # paths OR'd with ','-in-brackets is kept simple: one path per param
-        values = tuple(v for v in val.split(",") if v != "")
+        # iri values arrive percent-encoded (possibly multiply, via proxies);
+        # repeated-decode like the reference's browse view
+        # (trove/util/iris.py:154-188, trove/views/browse.py)
+        from ..iri import unquote_iri
+
+        values = tuple(
+            unquote_iri(v) if "%" in v else v
+            for v in val.split(",")
+            if v != ""
+        )
         glob_depth = None
         if path == "*" or set(path) == {"*"}:
             glob_depth = max(1, path.count("*"))

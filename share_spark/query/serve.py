@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -59,6 +60,9 @@ class TopKServer:
     _tomb_mtime: float = -1.0
     _n_docs: int = 0
     _avgdl: float = 0.0
+    # coarse lock over cache fill/eviction — a serving tier answers many
+    # queries concurrently; scoring itself is lock-free numpy
+    _lock: threading.RLock = field(default_factory=threading.RLock)
 
     @classmethod
     def open(cls, index_dir: str) -> "TopKServer":
@@ -190,8 +194,10 @@ class TopKServer:
         all_terms = list(
             dict.fromkeys(pq.terms + pq.neg_terms + tuple(phrase_terms))
         )
-        self._read_terms(all_terms)
-        dfs = self._df_of(list(pq.terms))
+        with self._lock:
+            self._read_terms(all_terms)
+            frames = {t: self._term_cache[t] for t in all_terms}
+            dfs = self._df_of(list(pq.terms))
         if any(dfs[t] == 0 for t in pq.terms):
             return []
         n = float(self._n_docs)
@@ -201,7 +207,7 @@ class TopKServer:
 
         parts = []
         for t in all_terms:
-            pdf = self._term_cache[t]
+            pdf = frames[t]
             if len(pdf) == 0:
                 if t in pq.terms:
                     return []  # conjunctive

@@ -82,13 +82,15 @@ def to_jsonapi(
     id_col: str,
     total: int | None = None,
     total_relation: str = "eq",
-    limit: int | None = None,
+    limit: int = 101,
 ) -> dict:
     """JSON:API-shaped document: {data: [{type, id, attributes}], meta}.
 
     (Shape parity with trove/render/jsonapi; the reference's full gathering
-    graph is out of scope — attributes are the result columns.)"""
-    rows = df.limit(limit).collect() if limit else df.collect()
+    graph is out of scope — attributes are the result columns.) `limit`
+    defaults to the reference MAX_PAGE_SIZE and is always applied — a page
+    renderer must never collect an unbounded result."""
+    rows = df.limit(limit).collect()
     data = []
     for r in rows:
         attrs = {c: r[c] for c in df.columns if c != id_col}
@@ -122,3 +124,203 @@ def pick_preferred_value(obj: dict) -> object:
         if k in obj and obj[k] not in (None, ""):
             return obj[k]
     return None
+
+
+# ---------------------------------------------------------------- XML surface
+#
+# The reference's remaining renderer registry (trove/render/__init__.py:19-31):
+# turtle, jsonld, rss, atom (+ html browse, a human surface out of engine
+# scope). These operate on a deterministic row-triples model: an iterable of
+# (subject, predicate, object, kind) with kind in {'iri', 'literal'} —
+# the engine's flat analog of the reference's tripledict
+# (primitive_metadata rdf; trove/render/turtle.py:20-24).
+
+import re as _re
+from xml.sax.saxutils import escape as _xml_escape
+from xml.sax.saxutils import unescape as _xml_unescape
+
+# match characters not allowed in XML (share/util/xml.py:4-16 parity:
+# control chars, lone surrogates, U+FFFE/U+FFFF)
+RE_XML_ILLEGAL = _re.compile(
+    "([\u0000-\u0008\u000b-\u000c\u000e-\u001f\ufffe-\uffff])"
+    + "|"
+    + (
+        "([%s-%s][^%s-%s])|([^%s-%s][%s-%s])|([%s-%s]$)|(^[%s-%s])"
+        % (
+            chr(0xD800), chr(0xDBFF), chr(0xDC00), chr(0xDFFF),
+            chr(0xD800), chr(0xDBFF), chr(0xDC00), chr(0xDFFF),
+            chr(0xD800), chr(0xDBFF), chr(0xDC00), chr(0xDFFF),
+        )
+    )
+)
+
+
+def strip_illegal_xml_chars(s: str) -> str:
+    """share/util/xml.py:19-20."""
+    return RE_XML_ILLEGAL.sub("", s)
+
+
+def prepare_xml_string(s: str | None) -> str | None:
+    """Feed-text preparation parity (api/views/feeds.py:21-27): strip
+    XML-illegal chars, then unescape pre-escaped entities (escaping happens
+    once, at XML generation)."""
+    if s:
+        return _xml_unescape(strip_illegal_xml_chars(s))
+    return s
+
+
+def _turtle_escape(s: str) -> str:
+    return (
+        s.replace("\\", "\\\\").replace('"', '\\"').replace("\n", "\\n")
+        .replace("\r", "\\r").replace("\t", "\\t")
+    )
+
+
+def to_turtle(
+    triples: list[tuple],
+    prefixes: dict[str, str] | None = None,
+) -> str:
+    """Deterministic Turtle: prefix block, subjects sorted, predicates sorted
+    within subject, objects sorted within predicate (';'/',' grouping like
+    rdf.turtle_from_tripledict output shape, trove/render/turtle.py:20-24).
+    """
+    prefixes = prefixes or {}
+
+    def q(iri: str) -> str:
+        for pfx, base in prefixes.items():
+            if iri.startswith(base):
+                rest = iri[len(base):]
+                if rest and all(c.isalnum() or c in "_-." for c in rest):
+                    return f"{pfx}:{rest}"
+        return f"<{iri}>"
+
+    def obj_str(o, kind):
+        if kind == "iri":
+            return q(str(o))
+        if isinstance(o, bool):
+            return "true" if o else "false"
+        if isinstance(o, int):
+            return str(o)
+        if isinstance(o, float):
+            return repr(o)
+        return f'"{_turtle_escape(str(o))}"'
+
+    by_subj: dict[str, dict[str, list[str]]] = {}
+    for s, p, o, kind in triples:
+        by_subj.setdefault(s, {}).setdefault(p, []).append(obj_str(o, kind))
+    lines = [f"@prefix {pfx}: <{base}> ." for pfx, base in sorted(prefixes.items())]
+    if lines:
+        lines.append("")
+    for s in sorted(by_subj):
+        preds = by_subj[s]
+        plines = []
+        for p in sorted(preds):
+            objs = ", ".join(sorted(set(preds[p])))
+            plines.append(f"    {q(p)} {objs}")
+        lines.append(q(s) + "\n" + " ;\n".join(plines) + " .")
+    return "\n".join(lines) + "\n"
+
+
+def to_jsonld(
+    triples: list[tuple],
+    context: dict[str, str] | None = None,
+) -> str:
+    """Deterministic JSON-LD: @graph of @id-keyed nodes, sort_keys
+    (trove/render/jsonld.py render shape: json.dumps(indent=2, sort_keys))."""
+    nodes: dict[str, dict] = {}
+    for s, p, o, kind in triples:
+        node = nodes.setdefault(s, {"@id": s})
+        val = {"@id": str(o)} if kind == "iri" else o
+        node.setdefault(p, []).append(val)
+    doc: dict = {"@graph": [nodes[s] for s in sorted(nodes)]}
+    if context:
+        doc["@context"] = dict(sorted(context.items()))
+    return json.dumps(doc, indent=2, sort_keys=True, default=str)
+
+
+def _feed_items(df: DataFrame, limit: int) -> list[dict]:
+    rows = df.limit(limit).collect()
+    return [r.asDict() for r in rows]
+
+
+def to_rss(
+    df: DataFrame,
+    *,
+    title: str,
+    link: str,
+    description: str,
+    item_title_col: str = "title",
+    item_link_col: str = "link",
+    item_desc_col: str = "description",
+    item_date_col: str = "date",
+    limit: int = 250,
+) -> str:
+    """RSS 2.0 feed over a result DataFrame (api/views/feeds.py analog;
+    RESULTS_PER_PAGE=250). Text goes through prepare_xml_string then is
+    escaped exactly once at generation."""
+
+    def el(tag, text):
+        t = prepare_xml_string(str(text)) if text is not None else ""
+        return f"<{tag}>{_xml_escape(t)}</{tag}>"
+
+    parts = [
+        '<?xml version="1.0" encoding="utf-8"?>',
+        '<rss version="2.0"><channel>',
+        el("title", title),
+        el("link", link),
+        el("description", description),
+    ]
+    for it in _feed_items(df, limit):
+        parts.append("<item>")
+        parts.append(el("title", it.get(item_title_col)))
+        parts.append(el("link", it.get(item_link_col)))
+        parts.append(el("description", it.get(item_desc_col)))
+        d = it.get(item_date_col)
+        if d is not None:
+            parts.append(el("pubDate", d))
+        parts.append(el("guid", it.get(item_link_col)))
+        parts.append("</item>")
+    parts.append("</channel></rss>")
+    return "".join(parts)
+
+
+def to_atom(
+    df: DataFrame,
+    *,
+    title: str,
+    link: str,
+    feed_id: str,
+    updated: str,
+    item_title_col: str = "title",
+    item_link_col: str = "link",
+    item_desc_col: str = "description",
+    item_date_col: str = "date",
+    limit: int = 250,
+) -> str:
+    """Atom 1.0 feed (django Atom1Feed shape, api/views/feeds.py:88-97)."""
+
+    def el(tag, text):
+        t = prepare_xml_string(str(text)) if text is not None else ""
+        return f"<{tag}>{_xml_escape(t)}</{tag}>"
+
+    parts = [
+        '<?xml version="1.0" encoding="utf-8"?>',
+        '<feed xmlns="http://www.w3.org/2005/Atom">',
+        el("title", title),
+        f'<link href="{_xml_escape(link, {chr(34): "&quot;"})}"/>',
+        el("id", feed_id),
+        el("updated", updated),
+    ]
+    for it in _feed_items(df, limit):
+        parts.append("<entry>")
+        parts.append(el("title", it.get(item_title_col)))
+        href = _xml_escape(str(it.get(item_link_col) or ""), {chr(34): "&quot;"})
+        parts.append(f'<link href="{href}"/>')
+        parts.append(el("id", it.get(item_link_col)))
+        d = it.get(item_date_col)
+        if d is not None:
+            parts.append(el("updated", d))
+        parts.append(el("summary", it.get(item_desc_col)))
+        parts.append("</entry>")
+    parts.append("</feed>")
+    return "".join(parts)

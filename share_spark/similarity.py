@@ -18,6 +18,8 @@ so the LSH assignment itself is oracle-checkable in DuckDB.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -69,8 +71,6 @@ def _plane_weight(p: int, d: int) -> float:
 
 
 def _plane_matrix(n_planes: int, dim: int) -> "np.ndarray":
-    import numpy as np
-
     return np.array(
         [[_plane_weight(p, d) for d in range(dim)] for p in range(n_planes)],
         dtype=np.float64,
@@ -100,9 +100,6 @@ def lsh_signature(
       the UDF closure (one numpy matmul per batch) — production embedding
       dims never enter the Catalyst plan.
     """
-    import numpy as np
-    import pandas as pd
-
     dim_probe = embeddings.select(F.size(vec_col).alias("d")).first()
     dim = int(dim_probe["d"])
     use_udf = (

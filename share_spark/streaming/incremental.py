@@ -110,6 +110,8 @@ def _merge_tombstones(spark: SparkSession, index_dir: str, new_rows: DataFrame) 
         os.rename(tomb_path, old_tmp)
     os.rename(tmp, tomb_path)
     shutil.rmtree(old_tmp, ignore_errors=True)
+    # the path's content changed under Spark's file-listing cache
+    spark.catalog.refreshByPath(tomb_path)
 
 
 def expel(spark: SparkSession, index_dir: str, doc_ids: list[int]) -> None:

@@ -1,0 +1,74 @@
+"""Serving tier: rank identity vs the exact scorer, tombstone visibility."""
+
+import pytest
+
+from share_spark.corpus import make_queries
+from share_spark.query.bm25 import exact_topk
+from share_spark.query.serve import TopKServer
+
+
+def _x(df):
+    return [(r["rank"], r["doc_id"], round(r["score"], 9)) for r in df.collect()]
+
+
+def _s(rows):
+    return [(rk, d, round(s, 9)) for d, s, rk in rows]
+
+
+def test_serve_rank_identity_query_set(built_index):
+    srv = TopKServer.open(built_index.index_dir)
+    for q in make_queries(25):
+        got = _s(srv.topk(q["query_text"], k=q["k"]))
+        want = _x(exact_topk(built_index, q["query_text"], k=q["k"]))
+        assert got == want, q
+
+
+@pytest.mark.parametrize(
+    "qtext",
+    [
+        '"nothing valued is here"',
+        '"nothing valued here"',
+        "danger -warning",
+        'danger -"warning about danger"',
+        "the data science",
+    ],
+)
+def test_serve_phrases_and_negation(built_index, qtext):
+    srv = TopKServer.open(built_index.index_dir)
+    got = _s(srv.topk(qtext, k=13))
+    want = _x(exact_topk(built_index, qtext, k=13))
+    assert got == want
+
+
+def test_serve_offset(built_index):
+    srv = TopKServer.open(built_index.index_dir)
+    full = _s(srv.topk("the data", k=30))
+    page = _s(srv.topk("the data", k=10, offset=10))
+    assert [d for _, d, _ in page] == [d for _, d, _ in full[10:20]]
+
+
+def test_serve_sees_incremental_updates(spark, pages_pdf, tmp_path):
+    """A new generation + tombstones written AFTER the server opened must be
+    visible (manifest refresh + tombstone mtime check)."""
+    from share_spark.index.build import IndexConfig, IndexReader, build_index
+    from share_spark.streaming.incremental import apply_incremental
+
+    idx_dir = str(tmp_path / "idx")
+    cfg = IndexConfig(block_size=32, chunk_docs=64)
+    build_index(spark, spark.createDataFrame(pages_pdf), idx_dir, cfg)
+    srv = TopKServer.open(idx_dir)
+    before = _s(srv.topk("danger", k=13))
+    assert before
+
+    # replace the current top hit with a doc that no longer matches
+    top_doc = before[0][1]
+    changed = pages_pdf[pages_pdf.doc_id == top_doc].copy()
+    changed["text"] = "completely unrelated replacement text"
+    changed["html"] = None
+    apply_incremental(spark, idx_dir, spark.createDataFrame(changed), cfg)
+
+    srv.refresh()
+    after = _s(srv.topk("danger", k=13))
+    assert top_doc not in [d for _, d, _ in after]
+    want = _x(exact_topk(IndexReader.open(spark, idx_dir), "danger", k=13))
+    assert after == want

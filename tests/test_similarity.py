@@ -65,3 +65,40 @@ def test_all_pairs_above_verifies_cosine(emb):
         assert abs(cos - r["cos"]) < 1e-5
         assert r["cos"] >= 0.95
         assert r["vec_a"] < r["vec_b"]
+
+
+def test_lsh_signature_udf_path_matches_expression_path(spark):
+    """The broadcast-matrix pandas-UDF strategy (production dims) must
+    assign the same buckets as the literal-folded expression strategy."""
+    import numpy as np
+
+    from share_spark.similarity import lsh_signature
+
+    rng = np.random.default_rng(11)
+    pdf = [(int(i), [float(x) for x in rng.normal(size=24)]) for i in range(200)]
+    emb = spark.createDataFrame(pdf, "vec_id long, embedding array<float>")
+    expr = {
+        r["vec_id"]: r["lsh_bucket"]
+        for r in lsh_signature(emb, n_planes=6, force_udf=False).collect()
+    }
+    udf = {
+        r["vec_id"]: r["lsh_bucket"]
+        for r in lsh_signature(emb, n_planes=6, force_udf=True).collect()
+    }
+    assert expr == udf
+
+
+def test_lsh_signature_large_dim_defaults_to_udf(spark):
+    """n_planes*dim past the literal budget must not explode the plan —
+    and must still produce valid buckets."""
+    import numpy as np
+
+    from share_spark.similarity import lsh_signature
+
+    rng = np.random.default_rng(12)
+    dim = 512
+    pdf = [(int(i), [float(x) for x in rng.normal(size=dim)]) for i in range(50)]
+    emb = spark.createDataFrame(pdf, "vec_id long, embedding array<float>")
+    out = lsh_signature(emb, n_planes=16).collect()  # 8192 > budget
+    assert len(out) == 50
+    assert all(0 <= r["lsh_bucket"] < (1 << 16) for r in out)
