@@ -188,6 +188,29 @@ def tokenize(text: str, analyzer: str = "standard") -> list[str]:
     raise ValueError(f"unknown analyzer: {analyzer}")
 
 
+def path_hierarchy_tokens(value: str, delimiter: str = "|") -> list[str]:
+    """Lucene path_hierarchy tokenizer (sharev2 subject analyzer,
+    sharev2_elastic8.py:75-85): every prefix of the delimited path, so
+    'bepress|Life Sciences|Biology' also matches searches for
+    'bepress|Life Sciences'. Lowercased like the paired lowercase filter."""
+    if not value:
+        return []
+    parts = value.lower().split(delimiter)
+    return [delimiter.join(parts[: i + 1]) for i in range(len(parts))]
+
+
+def path_hierarchy_col(col, delimiter: str = "|"):
+    """Column form: the same prefixes via higher-order array functions
+    (JVM-side, codegen) — for exploding subject columns at index build."""
+    from pyspark.sql import functions as F
+
+    parts = F.split(F.lower(col), re.escape(delimiter))
+    return F.transform(
+        F.sequence(F.lit(1), F.size(parts)),
+        lambda i: F.array_join(F.slice(parts, 1, i), delimiter),
+    )
+
+
 def tokenize_series(texts: pd.Series, analyzer: str = "standard") -> pd.Series:
     """Vectorized (per-batch) tokenize for use inside pandas UDFs."""
     return texts.map(lambda t: tokenize(t, analyzer))

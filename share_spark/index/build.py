@@ -126,6 +126,13 @@ class IndexConfig:
     b: float = B_DEFAULT
     n_partitions: int | None = None
     salt_chunks: int = 4  # shuffle-salt window = salt_chunks * chunk_docs
+    # also write a term-clustered copy of the posting blocks for the serving
+    # tier (query/serve.py): the WAND layout hashes terms across partitions
+    # (right for distributed scoring), which makes a single term's blocks
+    # touch every file; the serve layout range-partitions by (term, chunk)
+    # with small row groups so one term's postings are a handful of
+    # contiguous row groups — the Lucene-segment term locality property.
+    serve_layout: bool = True
 
     def checksum(self) -> str:
         """Analog of CURRENT_STRATEGY_CHECKSUM (index_strategy/_base.py:47):
@@ -528,6 +535,29 @@ def build_index(
         _refresh(postings_path)
         _mark_done(gdir, "postings")
     _lap("postings")
+
+    # stage 2b (optional): term-clustered serve copy of the posting blocks.
+    # Input is the ENCODED blocks (already delta+varint compressed), so this
+    # shuffle moves a small multiple of the final index bytes — far cheaper
+    # than re-encoding. repartitionByRange on (term, chunk) splits a head
+    # term across partitions at chunk boundaries (no single-reducer skew at
+    # 10^12 docs) while keeping each term's blocks contiguous on disk; 1 MiB
+    # row groups give the serving tier a fine-grained read unit.
+    if cfg.serve_layout:
+        serve_path = _stage_dir(gdir, "postings_term")
+        if not (resume and _stage_done(gdir, "postings_term")):
+            serve_parts = max(4, (cfg.n_partitions or spark.sparkContext.defaultParallelism) // 2)
+            (
+                spark.read.parquet(postings_path)
+                .repartitionByRange(serve_parts, "term", "chunk")
+                .sortWithinPartitions("term", "chunk", "first_doc")
+                .write.mode("overwrite")
+                .option("parquet.block.size", 1 << 20)
+                .parquet(serve_path)
+            )
+            _refresh(serve_path)
+            _mark_done(gdir, "postings_term")
+        _lap("postings_term")
 
     # stage 3: term stats DERIVED FROM BLOCK METADATA — df = sum of block
     # sizes per term, cf = sum of per-block tf sums; no posting bytes

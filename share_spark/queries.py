@@ -347,6 +347,27 @@ def _running_value_sum(spark, sf_dir):
     )
 
 
+def _events_windowed_counts(spark, sf_dir):
+    """Tumbling-window aggregate over the event stream — the BATCH twin of
+    the Structured Streaming plan (same F.window transform runs under
+    readStream + watermark; tests/test_streaming_window.py proves the two
+    produce identical rows on the same input)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def _latest_event_per_user(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.asc("event_id"))
@@ -382,6 +403,23 @@ def _dedup_minhash(spark, sf_dir):
 
 def _dedup_simhash(spark, sf_dir):
     return textops.simhash(_t(spark, sf_dir, "documents"), bits=32)
+
+
+def _dedup_simhash_pairs(spark, sf_dir):
+    """Near-dup pairs by simhash hamming distance via the pigeonhole band
+    join (distance <= 3 implies an exact match on one of 4 bands — never
+    all-pairs)."""
+    return textops.simhash_pairs(
+        _t(spark, sf_dir, "documents"), bits=32, max_hamming=3
+    ).select("doc_a", "doc_b", F.col("ham").cast("long").alias("ham"))
+
+
+def _neardup_embeddings(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs: LSH bucket join + exact cosine
+    verify — the all-pairs O(N^2) never materializes."""
+    return similarity.all_pairs_above(
+        _t(spark, sf_dir, "embeddings"), threshold=0.9, n_planes=4
+    )
 
 
 def _text_quality(spark, sf_dir):
@@ -772,6 +810,9 @@ QUERIES = {
     "dedup_jaccard3": _dedup_jaccard,
     "dedup_minhash_lsh": _dedup_minhash,
     "dedup_simhash": _dedup_simhash,
+    "dedup_simhash_pairs": _dedup_simhash_pairs,
+    "neardup_embeddings": _neardup_embeddings,
+    "events_windowed_counts": _events_windowed_counts,
     "text_quality": _text_quality,
     "langid": _langid,
     "token_counts": _token_counts,
@@ -793,13 +834,14 @@ WITH toks AS (
   WHERE t <> ''
 ),
 sigs AS (
-  SELECT doc_id, p.perm, min(md5(term || '#' || p.perm)) AS mh
+  SELECT doc_id, p.perm,
+         min(('0x' || substr(md5(term || '#' || p.perm), 1, 15))::BIGINT) AS mh
   FROM toks CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS perm) p
   GROUP BY doc_id, p.perm
 ),
 bands AS (
   SELECT doc_id, perm // 4 AS band,
-         string_agg(mh, ',' ORDER BY perm) AS band_key
+         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY perm) AS band_key
   FROM sigs GROUP BY doc_id, perm // 4
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -970,13 +1012,14 @@ WITH toks AS (
   WHERE t <> ''
 ),
 sigs AS (
-  SELECT doc_id, p.perm, min(md5(term || '#' || p.perm)) AS mh
+  SELECT doc_id, p.perm,
+         min(('0x' || substr(md5(term || '#' || p.perm), 1, 15))::BIGINT) AS mh
   FROM toks CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS perm) p
   GROUP BY doc_id, p.perm
 ),
 bands AS (
   SELECT doc_id, perm // 4 AS band,
-         string_agg(mh, ',' ORDER BY perm) AS band_key
+         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY perm) AS band_key
   FROM sigs GROUP BY doc_id, perm // 4
 ),
 cand AS (
@@ -1168,6 +1211,53 @@ ORACLES = {
     "dedup_jaccard3": _jaccard_lsh_verified_oracle(),
     "dedup_minhash_lsh": _minhash_oracle(),
     "dedup_simhash": _simhash_oracle(),
+    "dedup_simhash_pairs": f"""
+        WITH sh AS ({_simhash_oracle()}),
+        bands AS (
+          SELECT doc_id, simhash, b.b,
+                 (simhash >> (b.b * 8)) & 255 AS band_val
+          FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) b
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.simhash AS sa, b.simhash AS sb
+          FROM bands a JOIN bands b
+            ON a.b = b.b AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS ham
+        FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+    """,
+    "neardup_embeddings": f"""
+        WITH sig AS ({_lsh_bucket_oracle(4)}),
+        e AS (
+          SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                 unnest(embedding)::DOUBLE AS v
+          FROM embeddings
+        ),
+        norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY vec_id),
+        cand AS (
+          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+          FROM sig a JOIN sig b
+            ON a.lsh_bucket = b.lsh_bucket AND a.vec_id < b.vec_id
+        ),
+        dots AS (
+          SELECT c.vec_a, c.vec_b, sum(ea.v * eb.v) AS dot
+          FROM cand c
+          JOIN e ea ON ea.vec_id = c.vec_a
+          JOIN e eb ON eb.vec_id = c.vec_b AND eb.i = ea.i
+          GROUP BY c.vec_a, c.vec_b
+        )
+        SELECT vec_a, vec_b, round(dot / (na.nrm * nb.nrm), 6) AS cos
+        FROM dots
+        JOIN norms na ON na.vec_id = vec_a
+        JOIN norms nb ON nb.vec_id = vec_b
+        WHERE dot / (na.nrm * nb.nrm) >= 0.9
+    """,
+    "events_windowed_counts": """
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               count(*) AS n_events, round(sum(value), 4) AS sum_value
+        FROM events GROUP BY window_start, event_type
+    """,
     "text_quality": """
         SELECT doc_id,
                CAST(len(toks) AS BIGINT) AS n_tokens,

@@ -276,15 +276,21 @@ def compile_cardsearch(
     if params.sort:
         if doc_values is None:
             raise ValueError("sort requires a doc_values table")
+        # one NUMERIC sort key for either value type: dates as epoch days,
+        # ints as themselves (string-casting ints would sort '100' < '20')
         sort_vals = doc_values.filter(
             F.col("path_key") == params.sort.field
         ).select(
             "doc_id",
             F.coalesce(
-                F.col("date_value").cast("string"),
-                F.col("int_value").cast("string"),
+                F.datediff(F.col("date_value"), F.lit("1970-01-01").cast("date")).cast("long"),
+                F.col("int_value"),
             ).alias("_sv"),
         )
+        # multivalue semantics: ES sort mode max for desc / min for asc —
+        # and one row per doc, so the join can't fan out the result
+        agg = F.max("_sv") if params.sort.descending else F.min("_sv")
+        sort_vals = sort_vals.groupBy("doc_id").agg(agg.alias("_sv"))
         docs = docs.join(sort_vals, "doc_id", "left")
         primary = (
             F.desc_nulls_last("_sv") if params.sort.descending else F.asc_nulls_last("_sv")
@@ -313,8 +319,13 @@ def compile_valuesearch(
     params: ValuesearchParams,
     index: IndexReader,
     doc_values: DataFrame,
+    value_type: str | None = None,
 ) -> DataFrame:
-    """Dispatch on date-vs-iri property (trovesearch_denorm.py:306-329)."""
+    """Dispatch on date-vs-iri property (trovesearch_denorm.py:306-329).
+
+    `value_type` ('date' | 'iri') comes from the deployment's path-type
+    catalog when available; absent one, a single limit(1) metadata probe
+    decides (acceptable for interactive use, not for a hot loop)."""
     from .filters import apply_filters
 
     card_docs = None
@@ -328,8 +339,16 @@ def compile_valuesearch(
             index,
             doc_values,
         )
-    probe = doc_values.filter(F.col("path_key") == params.value_path).limit(1).collect()
-    is_date = bool(probe) and probe[0]["date_value"] is not None
+    if value_type is None:
+        probe = (
+            doc_values.filter(F.col("path_key") == params.value_path)
+            .limit(1)
+            .collect()
+        )
+        value_type = (
+            "date" if (probe and probe[0]["date_value"] is not None) else "iri"
+        )
+    is_date = value_type == "date"
     if is_date:
         return date_histogram(
             doc_values, [params.value_path], card_filter_docs=card_docs

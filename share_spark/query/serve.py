@@ -19,11 +19,12 @@ serves (SURVEY.md §1). This module is the "ES shard fetch" half:
   generations / deletes are visible without restarting the server.
 
 Scale shape: one server process serves one index; the per-query cost is
-independent of corpus size (terms' postings only). At 10^12 docs a head
-term's postings are large — the same block-max bounds used by the
-distributed path let the server early-exit scoring (bound < tau) per chunk
-group; for this round the server targets the latency floor, and falls back
-to the distributed plan for queries whose candidate sets exceed `max_rows`.
+O(query terms' postings), independent of corpus size. At 10^12 docs a head
+term's posting list is itself large — a production deployment shards the
+serving tier by doc-id chunk range (the same chunk alignment the
+distributed path uses) and fans a query out to shard servers, each running
+this module over its chunk slice; wand_topk IS that plan executed on Spark,
+so the fan-out server is wiring, not new scoring code.
 """
 
 from __future__ import annotations
@@ -38,10 +39,10 @@ import pandas as pd
 
 from ..index.build import IndexReader
 from .bm25 import ParsedQuery, parse_query
-from .wand import _make_chunk_scorer
+from .wand import score_term_lists
 
 _BLOCK_COLS = [
-    "term", "chunk", "first_doc", "docs_bin", "tfs_bin", "dls_bin",
+    "term", "chunk", "first_doc", "n", "docs_bin", "tfs_bin", "dls_bin",
     "pos_bin", "max_tf", "min_dl",
 ]
 
@@ -60,6 +61,11 @@ class TopKServer:
     _tomb_mtime: float = -1.0
     _n_docs: int = 0
     _avgdl: float = 0.0
+    # pyarrow datasets cached per (gen, stage): dataset() re-lists the
+    # directory and re-parses every parquet footer per call — per-query
+    # that's O(files) metadata IO; cached, a term read touches only the
+    # row groups its stats admit
+    _dsets: dict = field(default_factory=dict)
     # coarse lock over cache fill/eviction — a serving tier answers many
     # queries concurrently; scoring itself is lock-free numpy
     _lock: threading.RLock = field(default_factory=threading.RLock)
@@ -88,6 +94,7 @@ class TopKServer:
         ]:
             self._term_cache.clear()
             self._stats_cache.clear()
+            self._dsets.clear()
         self._gens = gens
         self.k1 = gens[0]["k1"]
         self.b = gens[0]["b"]
@@ -99,6 +106,20 @@ class TopKServer:
             else 0.0
         )
         self._load_tombstones()
+
+    def warmup(self) -> None:
+        """Server-startup preload: parquet footers + per-row-group term
+        dictionaries for every generation (parallel, one-time). After this,
+        a cold term's read touches exactly its own row groups."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        jobs = []
+        for g in self._gens:
+            gen = g["generation"]
+            for stage in (self._postings_stage(gen), "term_stats"):
+                jobs.extend(self._term_directory(gen, stage))
+        with ThreadPoolExecutor(max_workers=16) as pool:
+            list(pool.map(lambda e: self._rg_terms(e[2], e[3]), jobs))
 
     def _load_tombstones(self) -> None:
         import pyarrow.dataset as pads
@@ -114,8 +135,9 @@ class TopKServer:
         if self._tomb is not None and mtime == self._tomb_mtime:
             return
         t = pads.dataset(path, format="parquet").to_table()
-        # collapse to max before_gen per doc (same as IndexReader.tombstones)
-        pdf = t.to_pandas().groupby("doc_id", sort=False)["before_gen"].max()
+        # collapse to max before_gen per doc, SORTED by doc_id (the query
+        # path binary-searches it) — same as IndexReader.tombstones
+        pdf = t.to_pandas().groupby("doc_id", sort=True)["before_gen"].max()
         self._tomb = (
             pdf.index.to_numpy(dtype=np.int64),
             pdf.to_numpy(dtype=np.int64),
@@ -124,8 +146,133 @@ class TopKServer:
 
     # -- per-term IO (row-group-pruned parquet reads) --------------------
 
-    def _read_terms(self, terms: list[str]) -> None:
+    def _dataset(self, gen: int, stage: str):
         import pyarrow.dataset as pads
+
+        key = (gen, stage)
+        if key not in self._dsets:
+            self._dsets[key] = pads.dataset(
+                os.path.join(self.index_dir, f"gen{gen}", stage),
+                format="parquet",
+            )
+        return self._dsets[key]
+
+    def _term_directory(self, gen: int, stage: str) -> list[tuple]:
+        """[(min_term, max_term, parquet_file, row_group)] — the row-group
+        term ranges of one generation's stage, read ONCE from the parquet
+        footers (files are term-sorted per partition at build time precisely
+        so these stats are selective). The serving analog of Lucene's term
+        dictionary: a cold term read touches only the row groups whose
+        [min,max] admit it, not every file's metadata per query."""
+        import pyarrow.parquet as pq
+
+        key = (gen, stage, "dir")
+        if key not in self._dsets:
+            d = os.path.join(self.index_dir, f"gen{gen}", stage)
+            entries = []
+            for fn in sorted(os.listdir(d)):
+                if not fn.endswith(".parquet"):
+                    continue
+                pf = pq.ParquetFile(os.path.join(d, fn))
+                md = pf.metadata
+                term_col = next(
+                    i
+                    for i in range(len(md.schema))
+                    if md.schema.column(i).name == "term"
+                )
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(term_col).statistics
+                    entries.append((st.min, st.max, pf, rg))
+            self._dsets[key] = entries
+        return self._dsets[key]
+
+    def _postings_stage(self, gen: int) -> str:
+        """Prefer the term-clustered serve copy (build stage 2b) — a term's
+        blocks are contiguous row groups there; fall back to the WAND layout
+        for indexes built with serve_layout=False."""
+        key = (gen, "stage")
+        if key not in self._dsets:
+            d = os.path.join(self.index_dir, f"gen{gen}", "postings_term")
+            self._dsets[key] = (
+                "postings_term" if os.path.exists(d) else "postings"
+            )
+        return self._dsets[key]
+
+    def _rg_terms(self, pf, rg: int) -> np.ndarray:
+        """Sorted unique terms of one row group — the exact term dictionary.
+        Read lazily ONCE (the term column alone: dictionary-encoded, tiny
+        next to the posting binaries); afterwards membership is a binary
+        search, so a cold term read touches only row groups that truly
+        contain it. This matters because the build shuffles by
+        hash(term, window): per-FILE min/max spans most of the vocabulary,
+        so footer stats alone cannot prune."""
+        key = ("rgterms", id(pf), rg)
+        if key not in self._dsets:
+            col = pf.read_row_group(rg, columns=["term"]).column("term")
+            self._dsets[key] = np.unique(
+                np.asarray(col.to_pandas(), dtype=object)
+            )
+        return self._dsets[key]
+
+    def _read_row_groups(
+        self, gen: int, stage: str, terms: list[str], columns: list[str]
+    ) -> "pd.DataFrame | None":
+        """Read only the row groups that CONTAIN one of `terms` (term-
+        dictionary membership), slicing exact matches; heavy column reads
+        fan out over a thread pool (pyarrow releases the GIL)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        hits: dict[tuple, set] = {}
+        for mn, mx, pf, rg in self._term_directory(gen, stage):
+            in_range = [t for t in terms if mn <= t <= mx]
+            if not in_range:
+                continue
+            known = self._rg_terms(pf, rg)
+            idx = np.searchsorted(known, in_range)
+            present = {
+                t
+                for t, i in zip(in_range, idx)
+                if i < known.size and known[i] == t
+            }
+            if present:
+                hits.setdefault((id(pf), pf, rg), set()).update(present)
+
+        def _read(item):
+            (_, pf, rg), ts = item
+            tbl = pf.read_row_group(rg, columns=columns)
+            mask = pc.is_in(
+                tbl.column("term"),
+                options=pc.SetLookupOptions(value_set=pa.array(sorted(ts))),
+            )
+            sub = tbl.filter(mask)
+            return sub.to_pandas() if sub.num_rows else None
+
+        if not hits:
+            return None
+        if len(hits) == 1:
+            frames = [_read(next(iter(hits.items())))]
+        else:
+            with ThreadPoolExecutor(max_workers=min(16, len(hits))) as pool:
+                frames = list(pool.map(_read, hits.items()))
+        frames = [f for f in frames if f is not None]
+        if not frames:
+            return None
+        return pd.concat(frames, ignore_index=True)
+
+    def _read_terms(self, terms: list[str]) -> None:
+        """Fill the decoded-postings cache: per term, the gen-merged sorted
+        (ids, tfs, dls, pos_flat, gens) numpy arrays. Decode happens ONCE per
+        term per server lifetime — a warm query runs only the scoring kernel.
+        """
+        from ..index.codec import (
+            delta_decode,
+            gather_groups,
+            grouped_delta_decode,
+            varint_decode,
+        )
 
         missing = [t for t in terms if t not in self._term_cache]
         if not missing:
@@ -133,48 +280,70 @@ class TopKServer:
         frames: dict[str, list[pd.DataFrame]] = {t: [] for t in missing}
         for g in self._gens:
             gen = g["generation"]
-            dset = pads.dataset(
-                os.path.join(self.index_dir, f"gen{gen}", "postings"),
-                format="parquet",
+            pdf = self._read_row_groups(
+                gen, self._postings_stage(gen), missing, _BLOCK_COLS
             )
-            tbl = dset.to_table(
-                columns=_BLOCK_COLS,
-                filter=pads.field("term").isin(missing),
-            )
-            if tbl.num_rows == 0:
+            if pdf is None:
                 continue
-            pdf = tbl.to_pandas()
             pdf["gen"] = gen
             for t, grp in pdf.groupby("term", sort=False):
                 frames[t].append(grp)
+        empty = (
+            np.empty(0, dtype=np.int64),
+            np.empty(0, dtype=np.int64),
+            np.empty(0, dtype=np.float64),
+            np.empty(0, dtype=np.int64),
+            np.empty(0, dtype=np.int64),
+        )
         for t in missing:
+            if not frames[t]:
+                self._term_cache[t] = empty
+                continue
+            pdf = pd.concat(frames[t], ignore_index=True).sort_values(
+                ["gen", "first_doc"], kind="mergesort"
+            )
+            ids_l, tfs_l, dls_l, pos_l, gens_l = [], [], [], [], []
+            for gen, g2 in pdf.groupby("gen", sort=True):
+                # batch decode: varints are self-delimiting, so each column
+                # decodes from ONE concatenated buffer (per-block dispatch
+                # would cost ~40us x thousands of blocks for a head term);
+                # doc-id gaps reset at block starts, handled by the grouped
+                # decode with the per-block posting counts
+                ns = g2["n"].to_numpy(dtype=np.int64)
+                ids = grouped_delta_decode(b"".join(g2["docs_bin"]), ns)
+                tfs = varint_decode(b"".join(g2["tfs_bin"])).astype(np.int64)
+                dls = varint_decode(b"".join(g2["dls_bin"])).astype(np.float64)
+                pos_flat = grouped_delta_decode(b"".join(g2["pos_bin"]), tfs)
+                ids_l.append(ids)
+                tfs_l.append(tfs)
+                dls_l.append(dls)
+                pos_l.append(pos_flat)
+                gens_l.append(np.full(len(ids), gen, dtype=np.int64))
+            ids = np.concatenate(ids_l)
+            tfs = np.concatenate(tfs_l)
+            order = np.argsort(ids, kind="stable")
             self._term_cache[t] = (
-                pd.concat(frames[t], ignore_index=True)
-                if frames[t]
-                else pd.DataFrame(columns=_BLOCK_COLS + ["gen"])
+                ids[order],
+                tfs[order],
+                np.concatenate(dls_l)[order],
+                gather_groups(np.concatenate(pos_l), tfs, order),
+                np.concatenate(gens_l)[order],
             )
         while len(self._term_cache) > self.max_cached_terms:
             self._term_cache.pop(next(iter(self._term_cache)))
 
     def _df_of(self, terms: list[str]) -> dict[str, int]:
-        import pyarrow.dataset as pads
-
         missing = [t for t in terms if t not in self._stats_cache]
         if missing:
             got: dict[str, int] = {t: 0 for t in missing}
             for g in self._gens:
                 gen = g["generation"]
-                dset = pads.dataset(
-                    os.path.join(self.index_dir, f"gen{gen}", "term_stats"),
-                    format="parquet",
+                pdf = self._read_row_groups(
+                    gen, "term_stats", missing, ["term", "df"]
                 )
-                tbl = dset.to_table(
-                    columns=["term", "df"],
-                    filter=pads.field("term").isin(missing),
-                )
-                for t, d in zip(
-                    tbl.column("term").to_pylist(), tbl.column("df").to_pylist()
-                ):
+                if pdf is None:
+                    continue
+                for t, d in zip(pdf["term"], pdf["df"]):
                     got[t] += int(d)
             self._stats_cache.update(got)
         return {t: self._stats_cache[t] for t in terms}
@@ -196,7 +365,7 @@ class TopKServer:
         )
         with self._lock:
             self._read_terms(all_terms)
-            frames = {t: self._term_cache[t] for t in all_terms}
+            cached = {t: self._term_cache[t] for t in all_terms}
             dfs = self._df_of(list(pq.terms))
         if any(dfs[t] == 0 for t in pq.terms):
             return []
@@ -205,44 +374,34 @@ class TopKServer:
             t: float(np.log1p((n - d + 0.5) / (d + 0.5))) for t, d in dfs.items()
         }
 
-        parts = []
+        lists: dict[str, tuple] = {}
         for t in all_terms:
-            pdf = frames[t]
-            if len(pdf) == 0:
+            ids, tfs, dls, pos_flat, gens = cached[t]
+            if ids.size == 0:
                 if t in pq.terms:
                     return []  # conjunctive
                 continue
-            parts.append(pdf)
-        pdf = pd.concat(parts, ignore_index=True)
-        mtf = pdf["max_tf"].to_numpy(dtype=np.float64)
-        mdl = pdf["min_dl"].to_numpy(dtype=np.float64)
-        pdf = pdf.assign(
-            bound_imp=(mtf * (self.k1 + 1.0))
-            / (
-                mtf
-                + self.k1 * (1.0 - self.b + self.b * mdl / self._avgdl)
-            ),
-            idf=pdf["term"].map(idf).astype(float),
-        )
+            if self._tomb is not None:
+                from ..index.codec import filter_groups
+
+                t_ids, t_gens = self._tomb
+                loc = np.searchsorted(t_ids, ids)
+                hit = (loc < t_ids.size) & (
+                    t_ids[np.minimum(loc, t_ids.size - 1)] == ids
+                )
+                dead = hit & (t_gens[np.minimum(loc, t_ids.size - 1)] > gens)
+                if dead.any():
+                    keep = ~dead
+                    pos_flat = filter_groups(pos_flat, tfs, keep)
+                    ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
+            lists[t] = (ids, tfs, dls, pos_flat)
 
         n_keep = offset + k
-        scorer = _make_chunk_scorer(
-            pq, self.k1, self.b, self._avgdl, n_keep, 0.0, False
+        doc_ids, scores = score_term_lists(
+            pq, lists, idf, self.k1, self.b, self._avgdl, n_keep
         )
-        aux = None
-        if self._tomb is not None:
-            t_ids, t_gens = self._tomb
-            aux = pd.DataFrame(
-                {
-                    "chunk": np.zeros(len(t_ids), dtype=np.int64),
-                    "doc_id": t_ids,
-                    "before_gen": t_gens,
-                    "kind": "tomb",
-                }
-            )
-        out = scorer(pdf, aux)
         return [
-            (int(r.doc_id), float(r.score), i + 1)
-            for i, r in enumerate(out.itertuples(index=False))
+            (int(d), float(s), i + 1)
+            for i, (d, s) in enumerate(zip(doc_ids, scores))
             if i + 1 > offset
         ]

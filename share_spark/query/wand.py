@@ -96,6 +96,105 @@ def impact_bound_col(k1: float, b: float, avgdl: float):
     )
 
 
+def _term_keys(cand, tl, P):
+    """Sorted (cand_rank * P + position) keys of a term's occurrences in
+    the candidate docs (docs without the term contribute nothing).
+    tl = (ids, tfs, dls, pos_flat)."""
+    ids, tfs, _dls, pos_flat = tl
+    if ids.size == 0:
+        return np.empty(0, dtype=np.int64)
+    loc = np.searchsorted(ids, cand)
+    valid = (loc < ids.size) & (ids[np.minimum(loc, ids.size - 1)] == cand)
+    order = loc[valid]
+    sub_pos = gather_groups(pos_flat, tfs, order)
+    ranks = np.nonzero(valid)[0]
+    return np.repeat(ranks, tfs[order]) * P + sub_pos
+
+
+def _phrase_mask(cand, lists, phrase, P):
+    """Boolean mask over cand: doc contains the phrase in order."""
+    mask = np.zeros(cand.shape[0], dtype=bool)
+    if any(t not in lists for t in phrase):
+        return mask
+    S = _term_keys(cand, lists[phrase[0]], P)
+    for i, t in enumerate(phrase[1:], start=1):
+        if S.size == 0:
+            break
+        S = S[_member(_term_keys(cand, lists[t], P), S + i)]
+    if S.size:
+        mask[(S // P).astype(np.int64)] = True
+    return mask
+
+
+def score_term_lists(
+    pq: ParsedQuery,
+    lists: dict,
+    idf_of: dict,
+    k1: float,
+    b: float,
+    avgdl: float,
+    n_keep: int,
+    allow_ids: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """The document-at-a-time scoring core, shared VERBATIM by the
+    distributed chunk kernel and the serving tier (query/serve.py) — one
+    scorer, two transports, so rank identity holds by construction.
+
+    lists: term -> (ids sorted unique, tfs, dls or None, pos_flat or None);
+    returns (doc_ids, scores) of the local top-n_keep (score desc, id asc).
+    """
+    pos_sorted = tuple(sorted(pq.terms))
+    neg_set = frozenset(pq.neg_terms)
+    empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
+
+    cand = None
+    for t in sorted(pos_sorted, key=lambda t: lists[t][0].size if t in lists else 0):
+        if t not in lists:
+            return empty
+        ids = lists[t][0]
+        cand = ids if cand is None else cand[np.isin(cand, ids, assume_unique=True)]
+        if cand.size == 0:
+            return empty
+    if allow_ids is not None:
+        cand = cand[_member(allow_ids, cand)]
+    for t in neg_set:
+        if t in lists:
+            cand = cand[~np.isin(cand, lists[t][0], assume_unique=True)]
+    if cand.size == 0:
+        return empty
+
+    if pq.phrases or pq.neg_phrases:
+        max_phrase_len = max(len(p) for p in pq.phrases + pq.neg_phrases)
+        # P strides the doc-rank keyspace past any in-doc position; every
+        # candidate doc appears in every positive term's list, so the max
+        # dl over positive lists bounds every candidate position
+        max_dl = 0
+        for t in pos_sorted:
+            dls = lists[t][2]
+            if dls is not None and dls.size:
+                max_dl = max(max_dl, int(dls.max()))
+        P = np.int64(max_dl + max_phrase_len + 2)
+        for ph in pq.phrases:
+            cand = cand[_phrase_mask(cand, lists, ph, P)]
+            if cand.size == 0:
+                return empty
+        for ph in pq.neg_phrases:
+            cand = cand[~_phrase_mask(cand, lists, ph, P)]
+            if cand.size == 0:
+                return empty
+
+    scores = np.zeros(cand.shape[0], dtype=np.float64)
+    for t in pos_sorted:
+        ids, tfs, dls, _pos = lists[t]
+        pos = np.searchsorted(ids, cand)
+        tf = tfs[pos].astype(np.float64)
+        dl = dls[pos]
+        impact = (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+        scores += idf_of[t] * impact
+    order = np.lexsort((cand, -scores))[:n_keep]
+    return cand[order], scores[order]
+
+
 def _make_chunk_scorer(
     pq: ParsedQuery,
     k1: float,
@@ -121,7 +220,6 @@ def _make_chunk_scorer(
     phrase_terms = frozenset(
         t for ph in (pq.phrases + pq.neg_phrases) for t in ph
     )
-    max_phrase_len = max((len(p) for p in pq.phrases + pq.neg_phrases), default=0)
 
     empty = pd.DataFrame(
         {
@@ -129,33 +227,6 @@ def _make_chunk_scorer(
             "score": pd.Series([], dtype="float64"),
         }
     )
-
-    def _term_keys(cand, tl, P):
-        """Sorted (cand_rank * P + position) keys of a term's occurrences in
-        the candidate docs (docs without the term contribute nothing)."""
-        ids, tfs, _dls, pos_flat = tl
-        if ids.size == 0:
-            return np.empty(0, dtype=np.int64)
-        loc = np.searchsorted(ids, cand)
-        valid = (loc < ids.size) & (ids[np.minimum(loc, ids.size - 1)] == cand)
-        order = loc[valid]
-        sub_pos = gather_groups(pos_flat, tfs, order)
-        ranks = np.nonzero(valid)[0]
-        return np.repeat(ranks, tfs[order]) * P + sub_pos
-
-    def _phrase_mask(cand, lists, phrase, P):
-        """Boolean mask over cand: doc contains the phrase in order."""
-        mask = np.zeros(cand.shape[0], dtype=bool)
-        if any(t not in lists for t in phrase):
-            return mask
-        S = _term_keys(cand, lists[phrase[0]], P)
-        for i, t in enumerate(phrase[1:], start=1):
-            if S.size == 0:
-                break
-            S = S[_member(_term_keys(cand, lists[t], P), S + i)]
-        if S.size:
-            mask[(S // P).astype(np.int64)] = True
-        return mask
 
     def score_chunk(pdf: pd.DataFrame, aux: pd.DataFrame | None = None) -> pd.DataFrame:
         if len(pdf) == 0:
@@ -200,19 +271,18 @@ def _make_chunk_scorer(
             want_pos = term in phrase_terms
             p_ids, p_tfs, p_dls, p_pos = [], [], [], []
             for gen, g2 in grp.groupby("gen", sort=True):
-                ids = np.concatenate(
-                    [delta_decode(x) for x in g2["docs_bin"]]
-                ).astype(np.int64)
-                tfs = np.concatenate(
-                    [varint_decode(x) for x in g2["tfs_bin"]]
-                ).astype(np.int64)
+                # batch decode: ONE call per column per (term, gen) — varints
+                # are self-delimiting, and doc-id gap runs reset per block
+                # (grouped decode keyed by the block posting counts)
+                ns = g2["n"].to_numpy(dtype=np.int64)
+                ids = grouped_delta_decode(b"".join(g2["docs_bin"]), ns)
+                tfs = varint_decode(b"".join(g2["tfs_bin"])).astype(np.int64)
                 dls = pos_flat = None
                 if want_score:
-                    dls = np.concatenate(
-                        [varint_decode(x) for x in g2["dls_bin"]]
-                    ).astype(np.float64)
+                    dls = varint_decode(b"".join(g2["dls_bin"])).astype(
+                        np.float64
+                    )
                 if want_pos:
-                    # varints are self-delimiting: concat buffers, decode once
                     pos_flat = grouped_delta_decode(
                         b"".join(g2["pos_bin"]), tfs
                     )
@@ -242,50 +312,10 @@ def _make_chunk_scorer(
             dls = np.concatenate(p_dls)[order] if want_score else None
             lists[term] = (ids[order], tfs[order], dls, pos_flat)
 
-        # AND intersection, smallest list first
-        cand = None
-        for t in sorted(pos_sorted, key=lambda t: lists[t][0].size):
-            ids = lists[t][0]
-            cand = ids if cand is None else cand[np.isin(cand, ids, assume_unique=True)]
-            if cand.size == 0:
-                return empty
-        if allow_ids is not None:
-            cand = cand[_member(allow_ids, cand)]
-        for t in neg_set:
-            if t in lists:
-                cand = cand[~np.isin(cand, lists[t][0], assume_unique=True)]
-        if cand.size == 0:
-            return empty
-
-        if pq.phrases or pq.neg_phrases:
-            # P strides the doc-rank keyspace past any in-doc position; every
-            # candidate doc appears in every positive term's list, so the max
-            # dl over positive lists bounds every candidate position
-            max_dl = 0
-            for t in pos_sorted:
-                dls = lists[t][2]
-                if dls is not None and dls.size:
-                    max_dl = max(max_dl, int(dls.max()))
-            P = np.int64(max_dl + max_phrase_len + 2)
-            for ph in pq.phrases:
-                cand = cand[_phrase_mask(cand, lists, ph, P)]
-                if cand.size == 0:
-                    return empty
-            for ph in pq.neg_phrases:
-                cand = cand[~_phrase_mask(cand, lists, ph, P)]
-                if cand.size == 0:
-                    return empty
-
-        scores = np.zeros(cand.shape[0], dtype=np.float64)
-        for t in pos_sorted:
-            ids, _tfs, dls, _pos = lists[t]
-            pos = np.searchsorted(ids, cand)
-            tf = lists[t][1][pos].astype(np.float64)
-            dl = dls[pos]
-            impact = (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
-            scores += idf_of[t] * impact
-        order = np.lexsort((cand, -scores))[:n_keep]
-        return pd.DataFrame({"doc_id": cand[order], "score": scores[order]})
+        doc_ids, scores = score_term_lists(
+            pq, lists, idf_of, k1, b, avgdl, n_keep, allow_ids
+        )
+        return pd.DataFrame({"doc_id": doc_ids, "score": scores})
 
     return score_chunk
 
@@ -372,8 +402,8 @@ def wand_topk(
             ).alias("idf"),
         )
     )
-    cols = ["term", "chunk", "first_doc", "docs_bin", "tfs_bin", "dls_bin",
-            "max_tf", "min_dl", "gen"]
+    cols = ["term", "chunk", "first_doc", "n", "docs_bin", "tfs_bin",
+            "dls_bin", "max_tf", "min_dl", "gen"]
     if has_phrases:
         cols.append("pos_bin")  # positions read only when a phrase needs them
     blocks = (

@@ -169,24 +169,48 @@ def jaccard_verify(
     )
 
 
+def _perm_hash_col(p: int, token_col: str = "token") -> Column:
+    """Permutation p's int64 hash of a token: the first 15 hex digits of
+    md5(token || '#' || p) as an integer — engine-portable (DuckDB:
+    ('0x' || substr(md5(...), 1, 15))::BIGINT) and 8 bytes on the wire
+    instead of a 32-char hex string."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(token_col), F.lit(f"#{p}"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+def minhash_signatures_wide(
+    docs: DataFrame, n_perm: int = 16, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, mh0..mh{n-1}): all permutation minima as COLUMNS of one
+    aggregation — no (token x n_perm) row explode.
+
+    Scale shape: the old layout shuffled n_tokens * n_perm rows; this one
+    computes the n_perm hashes as expressions per token row (map-side) and
+    min-aggregates them in a single groupBy(doc_id) whose partial aggregation
+    collapses each task's rows to one row per doc — shuffle bytes are
+    n_docs * n_perm * 8, independent of document length.
+    """
+    toks = token_set(docs, text_col)
+    return toks.groupBy("doc_id").agg(
+        *[F.min(_perm_hash_col(p)).alias(f"mh{p}") for p in range(n_perm)]
+    )
+
+
 def minhash_signatures(
     docs: DataFrame, n_perm: int = 16, text_col: str = "text"
 ) -> DataFrame:
-    """(doc_id, perm, minhash) — permutation p's hash of token t is
-    md5(t || '#' || p); the signature is the min per (doc, perm).
-
-    md5 keeps it portable (DuckDB oracle computes identical signatures).
-    All JVM-side; the groupBy is map-side combined, keys are uniform.
+    """(doc_id, perm, minhash) long form — thin unpivot over the wide
+    aggregation (kept for API compat; the pair pipeline uses the wide form).
     """
-    toks = token_set(docs, text_col)
-    perms = F.explode(F.sequence(F.lit(0), F.lit(n_perm - 1))).alias("perm")
-    return (
-        toks.select("doc_id", "token", perms)
-        .withColumn(
-            "h", F.md5(F.concat(F.col("token"), F.lit("#"), F.col("perm").cast("string")))
-        )
-        .groupBy("doc_id", "perm")
-        .agg(F.min("h").alias("minhash"))
+    wide = minhash_signatures_wide(docs, n_perm, text_col)
+    pairs = ", ".join(f"{p}, mh{p}" for p in range(n_perm))
+    return wide.selectExpr(
+        "doc_id", f"stack({n_perm}, {pairs}) AS (perm, minhash)"
     )
 
 
@@ -201,21 +225,25 @@ def minhash_lsh_pairs(
     shingle -> minhash -> band -> bucket-join (SURVEY-mandated scale path):
     the self-join is on (band, band_key) — collision buckets are tiny, so the
     quadratic blowup of jaccard_pairs never happens. Verify candidates with
-    exact Jaccard on the candidate set when a threshold guarantee is needed.
+    exact Jaccard on the candidate set (jaccard_verify) when a threshold
+    guarantee is needed.
     """
-    sig = minhash_signatures(docs, n_perm, text_col)
-    banded = (
-        sig.withColumn("band", (F.col("perm") / band_size).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
+    sig = minhash_signatures_wide(docs, n_perm, text_col)
+    n_bands = n_perm // band_size
+    band_keys = F.array(
+        *[
             F.concat_ws(
                 ",",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("perm", "minhash"))),
-                    lambda s: s["minhash"],
-                ),
-            ).alias("band_key")
-        )
+                *[
+                    F.col(f"mh{b * band_size + i}").cast("string")
+                    for i in range(band_size)
+                ],
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = sig.select(
+        "doc_id", F.posexplode(band_keys).alias("band", "band_key")
     )
     a = banded.alias("a")
     b = banded.alias("b")

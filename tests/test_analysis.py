@@ -61,3 +61,23 @@ def test_tokenize_series_matches_scalar():
 
 def test_stopword_set_is_lucene_default_33():
     assert len(LUCENE_ENGLISH_STOPWORDS) == 33
+
+
+def test_path_hierarchy_tokenizer(spark):
+    from pyspark.sql import functions as F
+
+    from share_spark.analysis import path_hierarchy_col, path_hierarchy_tokens
+
+    want = [
+        "bepress",
+        "bepress|life sciences",
+        "bepress|life sciences|biology",
+    ]
+    assert path_hierarchy_tokens("bepress|Life Sciences|Biology") == want
+    assert path_hierarchy_tokens("") == []
+    got = (
+        spark.createDataFrame([("bepress|Life Sciences|Biology",)], "s string")
+        .select(path_hierarchy_col(F.col("s")).alias("t"))
+        .collect()[0]["t"]
+    )
+    assert got == want

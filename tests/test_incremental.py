@@ -105,3 +105,63 @@ def test_streaming_foreachbatch(spark, base_index, tmp_path):
     q.awaitTermination(120)
     idx = IndexReader.open(spark, d)
     assert _hits(idx, "quokka") == {int(pages.iloc[0].doc_id)}
+
+
+def test_two_phase_bounds_survive_avgdl_drift(spark, tmp_path):
+    """ADVICE-high regression: block-max bounds must stay valid when later
+    generations move the global avgdl. gen0 = short docs (small avgdl),
+    gen1 = long docs (3x avgdl); with bounds baked at build time using
+    gen0's own avgdl, the two-phase chunk pruning could drop true top-k
+    docs. Bounds are now computed at query time from (max_tf, min_dl), so
+    wand (forced through the pruned two-phase plan) must stay rank-identical
+    to exact."""
+    import pandas as pd
+
+    from share_spark.index.build import IndexConfig, IndexReader, build_index
+    from share_spark.query.bm25 import exact_topk
+    from share_spark.query.wand import wand_topk
+    from share_spark.streaming.incremental import apply_incremental
+
+    cfg = IndexConfig(block_size=16, chunk_docs=16)
+    idx_dir = str(tmp_path / "idx")
+    rng_words = [f"t{i}" for i in range(30)]
+
+    short_docs = pd.DataFrame(
+        {
+            "doc_id": range(200),
+            "url": [f"u{i}" for i in range(200)],
+            "lang": "en",
+            "text": [
+                f"alpha {rng_words[i % 30]} {rng_words[(i * 7) % 30]}"
+                for i in range(200)
+            ],
+            "html": None,
+        }
+    )
+    build_index(spark, spark.createDataFrame(short_docs), idx_dir, cfg)
+
+    long_docs = pd.DataFrame(
+        {
+            "doc_id": range(200, 360),
+            "url": [f"u{i}" for i in range(200, 360)],
+            "lang": "en",
+            "text": [
+                "alpha " + " ".join(rng_words[(i + j) % 30] for j in range(24))
+                for i in range(160)
+            ],
+            "html": None,
+        }
+    )
+    apply_incremental(spark, idx_dir, spark.createDataFrame(long_docs), cfg)
+
+    idx = IndexReader.open(spark, idx_dir)
+    assert idx.n_chunks > 8, "fixture must leave the single-phase regime"
+    for q in ("alpha", "alpha t3", "t1 t2", "t7"):
+        exact = [
+            (r["rank"], r["doc_id"]) for r in exact_topk(idx, q, k=15).collect()
+        ]
+        pruned = [
+            (r["rank"], r["doc_id"])
+            for r in wand_topk(idx, q, k=15, first_batch_chunks=1).collect()
+        ]
+        assert pruned == exact, q

@@ -132,3 +132,28 @@ def test_with_highlights(built_index):
     assert len(hl) == 3
     for r in hl:
         assert any("<em>danger</em>" in f for f in r["highlights"])
+
+
+def test_compile_sort_int_is_numeric_and_multivalue_safe(built_index, spark):
+    """Int sort must be numeric (not '100' < '20' lexicographic) and a doc
+    with several values at the path must appear once (max for desc)."""
+    from share_spark.query.params import CardsearchParams, SortParam, compile_cardsearch
+
+    rows = []
+    for d in range(40):
+        rows.append((d, "osf:downloads", 2, "int", None, None, None, d * 7 % 103))
+    rows.append((3, "osf:downloads", 2, "int", None, None, None, 1000))  # multivalue
+    dv = spark.createDataFrame(
+        rows,
+        "doc_id long, path_key string, depth int, value_type string, "
+        "iri_value string, text_value string, date_value date, int_value long",
+    )
+    params = CardsearchParams(
+        sort=SortParam("osf:downloads", descending=True), page_size=10
+    )
+    got = [r["doc_id"] for r in compile_cardsearch(params, built_index, dv).collect()]
+    assert len(got) == len(set(got)) == 10
+    assert got[0] == 3  # 1000 dominates numerically
+    vals = {d: max(v for dd, *_, v in [r for r in rows] if dd == d) for d in set(x[0] for x in rows)}
+    want = sorted(vals, key=lambda d: (-vals[d], d))[:10]
+    assert got == want

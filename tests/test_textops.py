@@ -96,8 +96,10 @@ def test_minhash_signature_matches_python_oracle(docs):
     for r in pdf.itertuples():
         toks = set(r.text.split())
         for p in range(4):
+            # int64 permutation hash: first 15 hex digits of md5 as integer
             want = min(
-                hashlib.md5(f"{t}#{p}".encode()).hexdigest() for t in toks
+                int(hashlib.md5(f"{t}#{p}".encode()).hexdigest()[:15], 16)
+                for t in toks
             )
             assert sig[(r.doc_id, p)] == want
 
