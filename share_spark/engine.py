@@ -1,0 +1,131 @@
+"""SearchEngine — the one-object facade over the whole surface.
+
+A user of the reference talks to four endpoints (SURVEY.md §3): ingest,
+/trove/index-card-search, /trove/index-value-search, and /oaipmh — plus a
+renderer per mediatype. This class wires those to the Spark-native parts:
+
+  engine = SearchEngine.build(spark, pages, index_dir)      # ingest/backfill
+  engine.ingest(changed_pages)                               # incremental
+  engine.cardsearch("cardSearchText=danger&page[size]=13")   # entry point A
+  engine.valuesearch("valueSearchPropertyPath=...&...")      # entry point B
+  engine.topk("danger -warning", serve=True)                 # low-latency tier
+  engine.oaipmh({"verb": ["ListRecords"], ...})              # OAI-PMH XML
+  engine.render(df, "text/csv")                              # outbound formats
+
+Structured search needs a doc_values long table (derive it from turtle with
+rdf.extract_doc_values, or supply your own); pass it at open/build time.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .index.build import IndexConfig, IndexReader, build_index
+from .oaipmh import OaiRepository
+from .query.fields import FieldIndex
+from .query.params import (
+    compile_cardsearch,
+    compile_valuesearch,
+    parse_cardsearch,
+    parse_valuesearch,
+)
+from .query.serve import TopKServer
+from .query.wand import wand_topk
+from .render import to_csv, to_jsonapi, to_jsonl, to_tsv
+
+
+@dataclass
+class SearchEngine:
+    spark: SparkSession
+    index_dir: str
+    reader: IndexReader
+    doc_values: DataFrame | None = None
+    field_index: FieldIndex | None = None
+    synonyms: DataFrame | None = None
+    oai_cards: DataFrame | None = None
+    _server: TopKServer | None = field(default=None, repr=False)
+
+    # -- lifecycle --------------------------------------------------------
+
+    @classmethod
+    def build(
+        cls,
+        spark: SparkSession,
+        pages: DataFrame,
+        index_dir: str,
+        cfg: IndexConfig | None = None,
+        **tables,
+    ) -> "SearchEngine":
+        """Full backfill build (SURVEY §3.3), then open."""
+        build_index(spark, pages, index_dir, cfg or IndexConfig())
+        return cls.open(spark, index_dir, **tables)
+
+    @classmethod
+    def open(
+        cls, spark: SparkSession, index_dir: str, **tables
+    ) -> "SearchEngine":
+        return cls(
+            spark, index_dir, IndexReader.open(spark, index_dir), **tables
+        )
+
+    def ingest(self, changed_pages: DataFrame, cfg: IndexConfig | None = None) -> dict:
+        """Incremental batch -> new generation + tombstones; reopens the
+        reader (an IndexReader is a snapshot handle) and refreshes the
+        serving tier."""
+        from .streaming.incremental import apply_incremental
+
+        manifest = apply_incremental(
+            self.spark, self.index_dir, changed_pages, cfg
+        )
+        self.reader = IndexReader.open(self.spark, self.index_dir)
+        if self._server is not None:
+            self._server.refresh()
+        return manifest
+
+    # -- query surface ------------------------------------------------------
+
+    def topk(
+        self, query_text: str, k: int = 13, offset: int = 0, serve: bool = False
+    ):
+        """BM25 top-k. serve=True answers from the low-latency tier (list of
+        (doc_id, score, rank)); otherwise the distributed WAND DataFrame."""
+        if serve:
+            if self._server is None:
+                self._server = TopKServer.open(self.index_dir)
+            return self._server.topk(query_text, k=k, offset=offset)
+        return wand_topk(self.reader, query_text, k=k, offset=offset)
+
+    def cardsearch(self, querystring: str) -> DataFrame:
+        params = parse_cardsearch(querystring)
+        return compile_cardsearch(
+            params, self.reader, self.doc_values, field_index=self.field_index
+        )
+
+    def valuesearch(self, querystring: str) -> DataFrame:
+        if self.doc_values is None:
+            raise ValueError("valuesearch requires a doc_values table")
+        params = parse_valuesearch(querystring)
+        return compile_valuesearch(params, self.reader, self.doc_values)
+
+    def oaipmh(self, params: dict[str, list[str]]) -> str:
+        if self.oai_cards is None:
+            raise ValueError("oaipmh requires an oai_cards table")
+        return OaiRepository(self.oai_cards).handle_request(params)
+
+    # -- outbound renderers ---------------------------------------------------
+
+    def render(self, df: DataFrame, mediatype: str, **kw) -> object:
+        if mediatype == "text/csv":
+            return to_csv(df, **kw)
+        if mediatype == "text/tab-separated-values":
+            return to_tsv(df, **kw)
+        if mediatype == "application/vnd.api+json":
+            return to_jsonapi(
+                df, kw.pop("resource_type", "index-card"),
+                kw.pop("id_col", "doc_id"), **kw,
+            )
+        if mediatype == "application/jsonlines":
+            return "\n".join(to_jsonl(df, **kw))
+        raise ValueError(f"unsupported mediatype: {mediatype}")

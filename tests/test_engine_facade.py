@@ -1,0 +1,75 @@
+"""The SearchEngine facade drives the whole reference-equivalent surface."""
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from share_spark.engine import SearchEngine
+from share_spark.index.build import IndexConfig
+
+
+@pytest.fixture(scope="module")
+def engine(spark, pages_pdf, tmp_path_factory):
+    idx_dir = str(tmp_path_factory.mktemp("eng") / "idx")
+    pages = spark.createDataFrame(pages_pdf)
+    from share_spark.corpus import make_doc_values
+
+    dv = spark.createDataFrame(make_doc_values(pages_pdf))
+    cards = pages.select(
+        F.col("doc_id").alias("card_id"),
+        F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias("identifier"),
+        F.col("warc_ts").alias("datestamp"),
+        F.lit("srcA").alias("setspec"),
+        F.lit("<oai_dc:dc/>").alias("metadata_xml"),
+    )
+    return SearchEngine.build(
+        spark, pages, idx_dir,
+        IndexConfig(block_size=32, chunk_docs=64),
+        doc_values=dv, oai_cards=cards,
+    )
+
+
+def test_facade_topk_both_tiers(engine):
+    dist = [(r["rank"], r["doc_id"]) for r in engine.topk("danger", k=5).collect()]
+    served = [(rk, d) for d, _, rk in engine.topk("danger", k=5, serve=True)]
+    assert dist == served and len(dist) == 5
+
+
+def test_facade_cardsearch_and_valuesearch(engine):
+    rows = engine.cardsearch(
+        "cardSearchText=danger&page[size]=7"
+    ).collect()
+    assert 0 < len(rows) <= 7
+    vs = engine.valuesearch(
+        'valueSearchPropertyPath=["dcterms:subject"]&page[size]=5'
+    ).collect()
+    assert vs and vs[0]["match_count"] >= vs[-1]["match_count"]
+
+
+def test_facade_oaipmh_and_render(engine):
+    xml = engine.oaipmh({"verb": ["Identify"]})
+    assert "<Identify>" in xml
+    xml = engine.oaipmh({"verb": ["ListRecords"], "metadataPrefix": ["oai_dc"]})
+    assert "<record>" in xml
+    page = engine.cardsearch("cardSearchText=danger&page[size]=3")
+    csv_text = engine.render(page, "text/csv")
+    assert csv_text.splitlines()[0].startswith("doc_id")
+    doc = engine.render(page, "application/vnd.api+json")
+    assert doc["data"] and doc["data"][0]["type"] == "index-card"
+    with pytest.raises(ValueError):
+        engine.render(page, "application/x-unknown")
+
+
+def test_facade_ingest_refreshes_both_tiers(engine, spark, pages_pdf):
+    target = [(r["doc_id"]) for _, r in enumerate(
+        engine.topk("danger", k=1).collect())][0]
+    changed = pages_pdf[pages_pdf.doc_id == target].copy()
+    changed["text"] = "nothing relevant remains"
+    changed["html"] = None
+    engine.ingest(spark.createDataFrame(changed),
+                  IndexConfig(block_size=32, chunk_docs=64))
+    dist = [r["doc_id"] for r in engine.topk("danger", k=13).collect()]
+    served = [d for d, _, _ in engine.topk("danger", k=13, serve=True)]
+    assert target not in dist and target not in served
+    assert dist == served
