@@ -33,7 +33,17 @@ from .query.params import (
 )
 from .query.serve import TopKServer
 from .query.wand import wand_topk
-from .render import to_csv, to_jsonapi, to_jsonl, to_tsv
+from .render import (
+    df_triples,
+    to_atom,
+    to_csv,
+    to_jsonapi,
+    to_jsonl,
+    to_jsonld,
+    to_rss,
+    to_tsv,
+    to_turtle,
+)
 
 
 @dataclass
@@ -42,6 +52,7 @@ class SearchEngine:
     index_dir: str
     reader: IndexReader
     doc_values: DataFrame | None = None
+    value_meta: DataFrame | None = None  # rdf.extract_value_values output
     field_index: FieldIndex | None = None
     synonyms: DataFrame | None = None
     oai_cards: DataFrame | None = None
@@ -107,7 +118,9 @@ class SearchEngine:
         if self.doc_values is None:
             raise ValueError("valuesearch requires a doc_values table")
         params = parse_valuesearch(querystring)
-        return compile_valuesearch(params, self.reader, self.doc_values)
+        return compile_valuesearch(
+            params, self.reader, self.doc_values, value_meta=self.value_meta
+        )
 
     def oaipmh(self, params: dict[str, list[str]]) -> str:
         if self.oai_cards is None:
@@ -117,6 +130,15 @@ class SearchEngine:
     # -- outbound renderers ---------------------------------------------------
 
     def render(self, df: DataFrame, mediatype: str, **kw) -> object:
+        """Dispatch the full renderer registry (trove/render/__init__.py:19-31
+        minus the human html browse surface): csv / tsv / jsonapi / jsonl /
+        turtle / jsonld / rss / atom.
+
+        `render_params` (query.params.TroveRenderParams) threads
+        fields[TYPE] into jsonapi attribute selection and iriShorthand into
+        the turtle prefix block / jsonld @context."""
+        render_params = kw.pop("render_params", None)
+        shorthand = render_params.shorthand_map() if render_params else {}
         if mediatype == "text/csv":
             return to_csv(df, **kw)
         if mediatype == "text/tab-separated-values":
@@ -124,8 +146,26 @@ class SearchEngine:
         if mediatype == "application/vnd.api+json":
             return to_jsonapi(
                 df, kw.pop("resource_type", "index-card"),
-                kw.pop("id_col", "doc_id"), **kw,
+                kw.pop("id_col", "doc_id"),
+                render_params=render_params, **kw,
             )
         if mediatype == "application/jsonlines":
             return "\n".join(to_jsonl(df, **kw))
+        if mediatype == "text/turtle":
+            triples = df_triples(df, kw.pop("id_col", "doc_id"), **kw)
+            return to_turtle(triples, prefixes=shorthand)
+        if mediatype == "application/ld+json":
+            triples = df_triples(df, kw.pop("id_col", "doc_id"), **kw)
+            return to_jsonld(triples, context=shorthand or None)
+        if mediatype == "application/rss+xml":
+            kw.setdefault("title", "search results")
+            kw.setdefault("link", "urn:search")
+            kw.setdefault("description", "")
+            return to_rss(df, **kw)
+        if mediatype == "application/atom+xml":
+            kw.setdefault("title", "search results")
+            kw.setdefault("link", "urn:search")
+            kw.setdefault("feed_id", "urn:search")
+            kw.setdefault("updated", "1970-01-01T00:00:00Z")
+            return to_atom(df, **kw)
         raise ValueError(f"unsupported mediatype: {mediatype}")

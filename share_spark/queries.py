@@ -629,6 +629,90 @@ def _valuesearch_engine(spark, sf_dir):
     return value_counts(dv, ['["dcterms:subject"]'], page_size=10)
 
 
+def _derived_value_meta(docs: DataFrame) -> DataFrame:
+    """Deterministic value-plane twin of _derived_doc_values: per-(doc, value)
+    shortwalk rows for the subject value, keyed (doc_id, value_iri) — the
+    shape rdf.extract_value_values emits (FIXTURES.md §2). N = doc_id % 50:
+      rdf:type    -> Agent (N even) | Concept (N odd), plus Org when N%3==0
+      rdfs:label  -> 'subject N'                      (always)
+      dcterms:title -> 'Subject Title N'              (N%5==0 only)
+    """
+    d = F.col("doc_id")
+    n = (d % 50).cast("int")
+    v = F.concat(
+        F.lit("://subjects.example/s"),
+        n.cast("string"),
+        F.when(d % 2 == 1, F.lit("/")).otherwise(F.lit("")),
+    )
+    base = docs.filter(d % 7 != 0).select("doc_id", v.alias("value_iri"), n.alias("_n"))
+
+    def _row(df, path, vtype, iri=None, text=None):
+        return df.select(
+            "doc_id",
+            "value_iri",
+            F.lit(path).alias("path_key"),
+            F.lit(1).alias("depth"),
+            F.lit(vtype).alias("value_type"),
+            (iri if iri is not None else F.lit(None).cast("string")).alias("iri_value"),
+            (text if text is not None else F.lit(None).cast("string")).alias("text_value"),
+            F.lit(None).cast("date").alias("date_value"),
+            F.lit(None).cast("long").alias("int_value"),
+        )
+
+    nstr = F.col("_n").cast("string")
+    typ = _row(
+        base, '["rdf:type"]', "iri",
+        iri=F.concat(
+            F.lit("://types.example/"),
+            F.when(F.col("_n") % 2 == 0, F.lit("Agent")).otherwise(F.lit("Concept")),
+        ),
+    )
+    org = _row(
+        base.filter(F.col("_n") % 3 == 0), '["rdf:type"]', "iri",
+        iri=F.lit("://types.example/Org"),
+    )
+    label = _row(
+        base, '["rdfs:label"]', "text", text=F.concat(F.lit("subject "), nstr)
+    )
+    title = _row(
+        base.filter(F.col("_n") % 5 == 0), '["dcterms:title"]', "text",
+        text=F.concat(F.lit("Subject Title "), nstr),
+    )
+    return typ.unionByName(org).unionByName(label).unionByName(title)
+
+
+def _valuesearch_full_engine(spark, sf_dir):
+    """The FULL valuesearch plane through parse_valuesearch +
+    compile_valuesearch: card-scoped date filter AND value-scoped type filter
+    (valueSearchFilter) AND value text (valueSearchText, AND-of-terms over
+    the value's depth-1 texts), with the nested type/label/title/name
+    sub-aggs (trovesearch_denorm.py:838-880, unpacked at :530-538).
+    Arrays are '|'-joined for the driver's value-hash compare."""
+    from .query.params import compile_valuesearch, parse_valuesearch
+
+    idx = _indexed(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    dv = _derived_doc_values(docs)
+    vm = _derived_value_meta(docs)
+    params = parse_valuesearch(
+        "valueSearchPropertyPath=%5B%22dcterms%3Asubject%22%5D"
+        "&valueSearchFilter[%5B%22rdf%3Atype%22%5D][any-of]="
+        "%3A%2F%2Ftypes.example%2FConcept"
+        "&valueSearchText=subject+title"
+        "&cardSearchFilter[%5B%22dcterms%3Acreated%22%5D][after]=1995"
+        "&page[size]=10"
+    )
+    out = compile_valuesearch(params, idx, dv, value_type="iri", value_meta=vm)
+    return out.select(
+        "iri_value",
+        "match_count",
+        F.array_join("type_iris", "|").alias("type_iris"),
+        F.array_join("name_texts", "|").alias("name_texts"),
+        F.array_join("title_texts", "|").alias("title_texts"),
+        F.array_join("label_texts", "|").alias("label_texts"),
+    )
+
+
 def _ft_filtered_topk(spark, sf_dir):
     """Text + structured filter with the filter PUSHED INTO the WAND kernel
     (the full-pages guarantee — no overfetch)."""
@@ -825,6 +909,7 @@ QUERIES = {
     "filter_date_engine": _filter_date_engine,
     "synonym_engine": _synonym_engine,
     "valuesearch_engine": _valuesearch_engine,
+    "valuesearch_full_engine": _valuesearch_full_engine,
     "ft_filtered_topk": _ft_filtered_topk,
     "ft_phrase_rank": _ft_phrase_rank,
     "ft_scoped_title": _ft_scoped_title,
@@ -1366,6 +1451,39 @@ ORACLES = {
         WHERE path_key = '["dcterms:subject"]' AND iri_value IS NOT NULL
         GROUP BY iri_value
         ORDER BY match_count DESC, iri_value LIMIT 11
+    """,
+    "valuesearch_full_engine": """
+        WITH matched AS (
+          SELECT doc_id,
+                 '://subjects.example/s' || CAST(doc_id % 50 AS VARCHAR)
+                   || (CASE WHEN doc_id % 2 = 1 THEN '/' ELSE '' END)
+                   AS value_iri,
+                 CAST(doc_id % 50 AS INT) AS n
+          FROM documents
+          WHERE doc_id % 7 <> 0                                  -- has subject
+            -- cardSearchFilter[created][after]=1995 -> >= 1996-01-01
+            AND DATE '1995-01-01' + CAST(doc_id % 2000 AS INT)
+                  >= DATE '1996-01-01'
+            AND (doc_id % 50) % 2 = 1     -- valueSearchFilter rdf:type Concept
+            -- valueSearchText='subject title': 'subject' matches every label,
+            -- 'title' only values WITH a title row (N%5=0)
+            AND (doc_id % 50) % 5 = 0
+        ),
+        buckets AS (
+          SELECT value_iri, COUNT(DISTINCT doc_id) AS match_count, MIN(n) AS n
+          FROM matched GROUP BY value_iri
+          ORDER BY match_count DESC, value_iri ASC
+          LIMIT 11
+        )
+        SELECT value_iri AS iri_value, match_count,
+          CASE WHEN n % 3 = 0
+               THEN '://types.example/Concept|://types.example/Org'
+               ELSE '://types.example/Concept' END AS type_iris,
+          '' AS name_texts,
+          'Subject Title ' || CAST(n AS VARCHAR) AS title_texts,
+          'subject ' || CAST(n AS VARCHAR) AS label_texts
+        FROM buckets
+        ORDER BY match_count DESC, iri_value ASC
     """,
     "ft_filtered_topk": _FT_FILTERED_ORACLE,
     "ft_phrase_rank": _FT_PHRASE_RANK_ORACLE,

@@ -82,8 +82,18 @@ def _date_granularity_bounds(value: str) -> tuple[date, date]:
     return date(y, m, d), nxt
 
 
-def matching_doc_ids(doc_values: DataFrame, f: SearchFilter) -> DataFrame:
-    """Doc ids having a value row that satisfies the filter's match side."""
+def matching_doc_ids(
+    doc_values: DataFrame,
+    f: SearchFilter,
+    *,
+    key_cols: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """Keys having a value row that satisfies the filter's match side.
+
+    `key_cols` picks the match unit: ("doc_id",) for the cardsearch plane;
+    ("doc_id", "value_iri") for the valuesearch plane, where the reference's
+    match unit is the (card, iri_value) pair document
+    (trovesearch_denorm.py:365-370 build_valuesearch_docs)."""
     rows = doc_values.filter(_path_pred(f))
     if f.op in (ANY_OF, NONE_OF):
         # suffuniq at BOTH sides (index- and query-time), so stored variants
@@ -111,16 +121,18 @@ def matching_doc_ids(doc_values: DataFrame, f: SearchFilter) -> DataFrame:
                     & (F.col("date_value") < F.lit(hi))
                 )
             rows = rows.filter(cond)
-    return rows.select("doc_id").distinct()
+    return rows.select(*key_cols).distinct()
 
 
 def apply_filters(
     docs: DataFrame,
     doc_values: DataFrame,
     filters: list[SearchFilter],
+    *,
+    key_cols: tuple[str, ...] = ("doc_id",),
 ) -> DataFrame:
     """AND-combine filters: each is a left_semi (match) or left_anti
-    (NONE_OF / IS_ABSENT) join against matching value-row doc ids.
+    (NONE_OF / IS_ABSENT) join against matching value-row keys.
 
     At scale: matching-id sets are usually small (filters are selective) —
     Catalyst broadcasts them under the auto-broadcast threshold; AQE converts
@@ -128,9 +140,9 @@ def apply_filters(
     """
     out = docs
     for f in filters:
-        ids = matching_doc_ids(doc_values, f)
+        ids = matching_doc_ids(doc_values, f, key_cols=key_cols)
         how = "left_anti" if f.op in (NONE_OF, IS_ABSENT) else "left_semi"
-        out = out.join(ids, "doc_id", how)
+        out = out.join(ids, list(key_cols), how)
     return out
 
 

@@ -124,9 +124,16 @@ def parse_render_params(querystring: str) -> TroveRenderParams:
 
 @dataclass(frozen=True)
 class ValuesearchParams:
+    """Frozen IR of a valuesearch request (search_params.py:449-494):
+    a cardsearch context plus the value-scoped constraints —
+    valueSearchText[path,...] and valueSearchFilter[path][op]."""
+
     value_path: str = ""
     cardsearch: CardsearchParams = field(default_factory=CardsearchParams)
     page_size: int = 13
+    value_texts: tuple[str, ...] = ()
+    value_text_paths: tuple[str, ...] = ()  # () = all depth-1 text
+    value_filters: tuple[SearchFilter, ...] = ()
 
 
 def _parse_filters(pairs, regex) -> list[SearchFilter]:
@@ -209,15 +216,34 @@ def parse_valuesearch(querystring: str) -> ValuesearchParams:
     pairs = parse_qsl(querystring, keep_blank_values=True)
     vpath = ""
     page_size = 13
+    vtexts: list[str] = []
+    vtext_paths: list[str] = []
     for key, val in pairs:
         if key == "valueSearchPropertyPath":
             vpath = val
         elif key == "page[size]":
             page_size = clamp_page_size(int(val))
+        else:
+            tm = _TEXT_RE.match(key)
+            if tm and tm.group(1) == "valueSearchText":
+                if val:
+                    vtexts.append(val)
+                if tm.group(2):
+                    for p in tm.group(2).split(","):
+                        if p and p != "*":
+                            vtext_paths.append(p)
+    if not vpath:
+        raise ValueError(
+            "valueSearchPropertyPath is required "
+            "(search_params.py:461-463 MissingRequiredQueryParam)"
+        )
     return ValuesearchParams(
         value_path=vpath,
         cardsearch=parse_cardsearch(querystring),
         page_size=page_size,
+        value_texts=tuple(vtexts),
+        value_text_paths=tuple(vtext_paths),
+        value_filters=tuple(_parse_filters(pairs, _VFILTER_RE)),
     )
 
 
@@ -320,12 +346,18 @@ def compile_valuesearch(
     index: IndexReader,
     doc_values: DataFrame,
     value_type: str | None = None,
+    value_meta: DataFrame | None = None,
 ) -> DataFrame:
     """Dispatch on date-vs-iri property (trovesearch_denorm.py:306-329).
 
     `value_type` ('date' | 'iri') comes from the deployment's path-type
     catalog when available; absent one, a single limit(1) metadata probe
-    decides (acceptable for interactive use, not for a hot loop)."""
+    decides (acceptable for interactive use, not for a hot loop).
+
+    `value_meta` is the (doc_id, value_iri)-keyed table from
+    rdf.extract_value_values; valueSearchText/valueSearchFilter compile
+    against it. Passing those params without it raises — never silently
+    dropped (the engine-wide rule)."""
     from .filters import apply_filters
 
     card_docs = None
@@ -350,6 +382,14 @@ def compile_valuesearch(
         )
     is_date = value_type == "date"
     if is_date:
+        if params.value_texts or params.value_filters:
+            # date-value limitations (search_params.py:472-483
+            # InvalidQueryParams): value-scoped constraints are undefined
+            # for a date property — a histogram has no value subdocs
+            raise ValueError(
+                "valueSearchText/valueSearchFilter may not be used with a "
+                "valueSearchPropertyPath leading to a date property"
+            )
         return date_histogram(
             doc_values, [params.value_path], card_filter_docs=card_docs
         )
@@ -358,4 +398,8 @@ def compile_valuesearch(
         [params.value_path],
         card_filter_docs=card_docs,
         page_size=params.page_size,
+        value_meta=value_meta,
+        value_filters=params.value_filters,
+        value_text=" ".join(params.value_texts) if params.value_texts else None,
+        value_text_paths=params.value_text_paths,
     )

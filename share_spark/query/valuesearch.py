@@ -16,6 +16,64 @@ from pyspark.sql import functions as F
 
 from .filters import SearchFilter, apply_filters
 
+# Deployment property-path config for the nested sub-aggs — the osfmap
+# NAME/TITLE/LABEL property sets (trove/vocab/osfmap.py:962-965), as the
+# depth-1 path_keys the extractor emits.
+TYPE_PATHS: tuple[str, ...] = ('["rdf:type"]',)
+NAME_PATHS: tuple[str, ...] = ('["foaf:name"]', '["osf:fileName"]')
+TITLE_PATHS: tuple[str, ...] = ('["dcterms:title"]',)
+LABEL_PATHS: tuple[str, ...] = (
+    '["rdfs:label"]', '["skos:prefLabel"]', '["skos:altLabel"]',
+)
+
+_VKEY = ["doc_id", "value_iri"]
+
+
+def _text_matching_value_keys(
+    value_meta: DataFrame,
+    text: str,
+    text_paths: tuple[str, ...],
+    analyzer: str,
+) -> DataFrame:
+    """(doc_id, value_iri) pairs whose text rows satisfy the AND-of-terms
+    simple_query_string over the scoped paths (trovesearch_denorm.py:656-668
+    with base_field='iri_value'): every query token must appear in SOME text
+    row at the paths (() = any depth-1 text, the '*' default).
+
+    JVM-side: stored text splits with the standard-analyzer regex; per-pair
+    distinct-matched-token count must equal the query's distinct token count.
+    """
+    from ..analysis import tokenize
+
+    toks = sorted(set(tokenize(text, analyzer)))
+    if not toks:
+        return value_meta.select(*_VKEY).distinct()
+    rows = value_meta.filter(F.col("text_value").isNotNull())
+    if text_paths:
+        rows = rows.filter(F.col("path_key").isin(list(text_paths)))
+    else:
+        rows = rows.filter(F.col("depth") == 1)
+    tok_col = F.explode(
+        F.array_distinct(F.split(F.lower("text_value"), r"[^0-9a-z_]+"))
+    ).alias("_tok")
+    return (
+        rows.select(*_VKEY, tok_col)
+        .filter(F.col("_tok").isin(toks))
+        .groupBy(*_VKEY)
+        .agg(F.countDistinct("_tok").alias("_n"))
+        .filter(F.col("_n") == len(toks))
+        .select(*_VKEY)
+    )
+
+
+def _subagg(kind_col: str, paths: tuple[str, ...]):
+    """One nested terms sub-agg: sorted distinct values at the paths."""
+    return F.array_sort(
+        F.collect_set(
+            F.when(F.col("path_key").isin(list(paths)), F.col(kind_col))
+        )
+    )
+
 
 def value_counts(
     doc_values: DataFrame,
@@ -24,16 +82,41 @@ def value_counts(
     card_filter_docs: DataFrame | None = None,
     page_size: int = 13,
     offset: int = 0,
+    value_meta: DataFrame | None = None,
+    value_filters: tuple[SearchFilter, ...] = (),
+    value_text: str | None = None,
+    value_text_paths: tuple[str, ...] = (),
+    analyzer: str = "standard",
+    type_paths: tuple[str, ...] = TYPE_PATHS,
+    name_paths: tuple[str, ...] = NAME_PATHS,
+    title_paths: tuple[str, ...] = TITLE_PATHS,
+    label_paths: tuple[str, ...] = LABEL_PATHS,
 ) -> DataFrame:
     """terms-agg analog: count matching docs per IRI value at the paths.
 
     `card_filter_docs` scopes to a cardsearch context (the reference ANDs the
     card-scoped query into the value-doc query, trovesearch_denorm.py:838-859).
+    `value_meta` is the (doc_id, value_iri)-keyed long table from
+    rdf.extract_value_values; when present the result carries the nested
+    sub-agg columns (agg_type_iri / agg_value_name / agg_value_title /
+    agg_value_label, trovesearch_denorm.py:869-877 unpacked at :530-538), and
+    `value_filters` / `value_text` compile the valueSearchFilter /
+    valueSearchText constraints against it (the base_field='iri_value'
+    _QueryHelper, :852-858).
+
     Overfetch paging parity: bucket size = offset + page + 1
     (trovesearch_denorm.py:860-880 — 'terribly hacky pagination').
-    Returns (iri_value, match_count, type_iris, name_like) ordered by
-    match_count desc, iri_value asc (stable).
+
+    Returns, ordered by match_count desc, iri_value asc (stable):
+      without value_meta: (iri_value, match_count)
+      with value_meta:    (iri_value, match_count, type_iris, name_texts,
+                           title_texts, label_texts) — sorted string arrays.
     """
+    if (value_filters or value_text) and value_meta is None:
+        raise ValueError(
+            "valueSearchFilter/valueSearchText require a value_meta table "
+            "(rdf.extract_value_values) — refusing to silently drop them"
+        )
     rows = doc_values.filter(
         F.col("path_key").isin(path_keys) & F.col("iri_value").isNotNull()
     )
@@ -41,15 +124,52 @@ def value_counts(
         rows = rows.join(
             card_filter_docs.select("doc_id").distinct(), "doc_id", "left_semi"
         )
-    agg = (
-        rows.groupBy("iri_value")
-        .agg(
-            F.countDistinct("doc_id").alias("match_count"),
+    pairs = rows.select("doc_id", F.col("iri_value").alias("value_iri"))
+    if value_filters:
+        pairs = apply_filters(
+            pairs, value_meta, list(value_filters), key_cols=tuple(_VKEY)
         )
-        .orderBy(F.desc("match_count"), F.asc("iri_value"))
+    if value_text:
+        pairs = pairs.join(
+            _text_matching_value_keys(
+                value_meta, value_text, value_text_paths, analyzer
+            ),
+            _VKEY,
+            "left_semi",
+        )
+    agg = (
+        pairs.groupBy("value_iri")
+        .agg(F.countDistinct("doc_id").alias("match_count"))
+        .orderBy(F.desc("match_count"), F.asc("value_iri"))
         .limit(offset + page_size + 1)
     )
-    return agg
+    if value_meta is None:
+        return agg.select(F.col("value_iri").alias("iri_value"), "match_count")
+    # nested sub-aggs over the meta rows of the SURVIVING pairs only — the
+    # per-bucket terms sub-aggs see the same filtered document set — and only
+    # for the ≤ offset+k+1 SURFACED buckets (agg is tiny → broadcast semi)
+    meta_rows = value_meta.join(pairs, _VKEY, "left_semi").join(
+        F.broadcast(agg.select("value_iri")), "value_iri", "left_semi"
+    )
+    subs = meta_rows.groupBy("value_iri").agg(
+        _subagg("iri_value", type_paths).alias("type_iris"),
+        _subagg("text_value", name_paths).alias("name_texts"),
+        _subagg("text_value", title_paths).alias("title_texts"),
+        _subagg("text_value", label_paths).alias("label_texts"),
+    )
+    empty = F.array().cast("array<string>")
+    return (
+        agg.join(subs, "value_iri", "left")
+        .select(
+            F.col("value_iri").alias("iri_value"),
+            "match_count",
+            *(
+                F.coalesce(c, empty).alias(c)
+                for c in ("type_iris", "name_texts", "title_texts", "label_texts")
+            ),
+        )
+        .orderBy(F.desc("match_count"), F.asc("iri_value"))
+    )
 
 
 def date_histogram(

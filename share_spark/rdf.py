@@ -204,11 +204,16 @@ def walk_tripledict(
     skippable_properties: frozenset[str] = frozenset(),
     extra_literal_paths: frozenset[tuple[str, ...]] = frozenset(),
     date_properties: frozenset[str] = frozenset(),
+    blocked: frozenset[str] = frozenset(),
 ) -> Iterator[tuple[tuple[str, ...], object]]:
     """GraphWalk parity (_trovesearch_util.py:200-237): yield (path, value)
     for every reachable object; IRIs recurse (acyclic), literals only at
-    depth 1 or on extra paths; `date_properties` literals parse as dates."""
-    visiting: set[str] = set()
+    depth 1 or on extra paths; `date_properties` literals parse as dates.
+
+    `blocked` seeds the visiting set — shortwalk_from semantics
+    (_trovesearch_util.py:170-175: a walk from a value IRI that never
+    re-enters the card focus)."""
+    visiting: set[str] = set(blocked)
 
     def _walk(iri: str, path_so_far: tuple[str, ...]):
         if iri in visiting:
@@ -320,3 +325,93 @@ def extract_doc_values(
                 )
 
     return docs.mapInPandas(_extract, schema=DOC_VALUES_SCHEMA)
+
+
+VALUE_VALUES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("value_iri", T.StringType()),
+        *DOC_VALUES_SCHEMA.fields[1:],
+    ]
+)
+
+
+def extract_value_values(
+    docs: DataFrame,
+    *,
+    turtle_col: str = "turtle",
+    focus_col: str = "focus_iri",
+    date_properties: frozenset[str] = frozenset(),
+    skippable_properties: frozenset[str] = frozenset(),
+) -> DataFrame:
+    """(doc_id, focus_iri, turtle) -> the VALUESEARCH plane's long rows.
+
+    For every IRI value the card's fullwalk reaches, re-walk from that value
+    with the card focus blocked (the shortwalk of trovesearch_denorm.py:
+    397-408 `_iri_value_subdoc` / _trovesearch_util.py:170-175) and emit one
+    row per (value, path, object) — keyed (doc_id, value_iri), the reference's
+    per-(card, value) document unit (build_valuesearch_docs, :365-370).
+
+    The value's rdf:type IRIs, name/title/label texts, and any deeper paths
+    all land here; query/valuesearch.py aggregates them into the nested
+    sub-agg columns and query/filters.py compiles valueSearchFilter against
+    them with key_cols=("doc_id", "value_iri").
+    """
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[tuple] = []
+            for doc_id, focus, turtle in zip(
+                pdf["doc_id"], pdf[focus_col], pdf[turtle_col]
+            ):
+                td, prefixes = parse_turtle(turtle)
+                value_iris: list[str] = []
+                seen_vals: set[str] = set()
+                for _path, obj in walk_tripledict(
+                    td,
+                    focus,
+                    date_properties=date_properties,
+                    skippable_properties=skippable_properties,
+                ):
+                    if (
+                        isinstance(obj, str)
+                        and not obj.startswith("_:")
+                        and obj not in seen_vals
+                    ):
+                        seen_vals.add(obj)
+                        value_iris.append(obj)
+                for viri in value_iris:
+                    seen = set()
+                    for path, obj in walk_tripledict(
+                        td,
+                        viri,
+                        date_properties=date_properties,
+                        skippable_properties=skippable_properties,
+                        blocked=frozenset((focus,)),
+                    ):
+                        pk = json.dumps([shorthand(p, prefixes) for p in path])
+                        depth = len(path)
+                        if isinstance(obj, datetime.date):
+                            row = (doc_id, viri, pk, depth, "date",
+                                   None, None, obj, None)
+                        elif isinstance(obj, int):
+                            row = (doc_id, viri, pk, depth, "int",
+                                   None, None, None, obj)
+                        elif isinstance(obj, Literal):
+                            row = (doc_id, viri, pk, depth, "text",
+                                   None, obj.value, None, None)
+                        elif obj.startswith("_:"):
+                            continue
+                        else:
+                            row = (doc_id, viri, pk, depth, "iri",
+                                   obj, None, None, None)
+                        if row not in seen:
+                            seen.add(row)
+                            out.append(row)
+            if out:
+                yield pd.DataFrame(
+                    out,
+                    columns=[f.name for f in VALUE_VALUES_SCHEMA.fields],
+                )
+
+    return docs.mapInPandas(_extract, schema=VALUE_VALUES_SCHEMA)

@@ -83,17 +83,27 @@ def to_jsonapi(
     total: int | None = None,
     total_relation: str = "eq",
     limit: int = 101,
+    render_params=None,
 ) -> dict:
     """JSON:API-shaped document: {data: [{type, id, attributes}], meta}.
 
     (Shape parity with trove/render/jsonapi; the reference's full gathering
     graph is out of scope — attributes are the result columns.) `limit`
     defaults to the reference MAX_PAGE_SIZE and is always applied — a page
-    renderer must never collect an unbounded result."""
+    renderer must never collect an unbounded result.
+
+    `render_params` (query.params.TroveRenderParams) applies the
+    `fields[TYPE]=a,b` restriction (trove/util/trove_params.py:44-117): only
+    the requested attribute columns are emitted for this resource type."""
+    keep = render_params.fields_for(resource_type) if render_params else None
     rows = df.limit(limit).collect()
     data = []
     for r in rows:
-        attrs = {c: r[c] for c in df.columns if c != id_col}
+        attrs = {
+            c: r[c]
+            for c in df.columns
+            if c != id_col and (keep is None or c in keep)
+        }
         data.append(
             {
                 "type": resource_type,
@@ -219,6 +229,38 @@ def to_turtle(
             plines.append(f"    {q(p)} {objs}")
         lines.append(q(s) + "\n" + " ;\n".join(plines) + " .")
     return "\n".join(lines) + "\n"
+
+
+def df_triples(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    base_iri: str = "urn:result:",
+    limit: int = 250,
+) -> list[tuple]:
+    """Row-triples adapter: a result DataFrame -> (s, p, o, kind) rows for
+    the RDF renderers. Each row becomes a subject `base_iri + id`; each
+    non-id column a predicate; string values that look like IRIs keep 'iri'
+    kind so turtle/jsonld emit them as resources (the flat analog of the
+    reference's gathered tripledict, trove/render/turtle.py:20-24).
+    Bounded by `limit` — a renderer never collects unbounded results."""
+    triples: list[tuple] = []
+    for r in df.limit(limit).collect():
+        subj = f"{base_iri}{r[id_col]}"
+        for c in df.columns:
+            if c == id_col:
+                continue
+            vals = r[c] if isinstance(r[c], list) else [r[c]]
+            for v in vals:
+                if v is None:
+                    continue
+                kind = (
+                    "iri"
+                    if isinstance(v, str)
+                    and ("://" in v or v.startswith("urn:"))
+                    else "literal"
+                )
+                triples.append((subj, c, v, kind))
+    return triples
 
 
 def to_jsonld(

@@ -61,6 +61,33 @@ def test_facade_oaipmh_and_render(engine):
         engine.render(page, "application/x-unknown")
 
 
+def test_facade_renders_all_eight_mediatypes(engine):
+    """The full renderer registry (trove/render/__init__.py:19-31 minus the
+    html browse surface) dispatches from the one facade over the same page."""
+    from share_spark.query.params import parse_render_params
+
+    page = engine.cardsearch("cardSearchText=danger&page[size]=3")
+    rp = parse_render_params(
+        "iriShorthand[ex]=urn:result:&fields[index-card]=score"
+    )
+    csv_text = engine.render(page, "text/csv")
+    assert csv_text.splitlines()[0].startswith("doc_id")
+    tsv_text = engine.render(page, "text/tab-separated-values")
+    assert tsv_text.splitlines()[0].startswith("doc_id")
+    japi = engine.render(page, "application/vnd.api+json", render_params=rp)
+    assert set(japi["data"][0]["attributes"]) == {"score"}  # fields applied
+    jsonl = engine.render(page, "application/jsonlines")
+    assert jsonl.count("\n") == 2
+    ttl = engine.render(page, "text/turtle", render_params=rp)
+    assert "@prefix ex: <urn:result:>" in ttl and "ex:" in ttl  # shorthand
+    jld = engine.render(page, "application/ld+json", render_params=rp)
+    assert '"@graph"' in jld and '"@context"' in jld
+    rss = engine.render(page, "application/rss+xml")
+    assert rss.startswith('<?xml') and "<rss" in rss and "<item>" in rss
+    atom = engine.render(page, "application/atom+xml")
+    assert "<feed" in atom and "<entry>" in atom
+
+
 def test_facade_ingest_refreshes_both_tiers(engine, spark, pages_pdf):
     target = [(r["doc_id"]) for _, r in enumerate(
         engine.topk("danger", k=1).collect())][0]
