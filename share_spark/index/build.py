@@ -756,7 +756,9 @@ class IndexReader:
         tomb = self.tombstones()
         if tomb is None:
             return docs
-        joined = docs.join(F.broadcast(tomb), "doc_id", "left")
+        # un-hinted: tombstones are unbounded between compactions; AQE
+        # broadcasts when small, shuffles when not (never a driver OOM)
+        joined = docs.join(tomb, "doc_id", "left")
         return joined.filter(
             F.col("before_gen").isNull() | (F.col("gen") >= F.col("before_gen"))
         ).drop("before_gen")

@@ -416,9 +416,32 @@ def _dedup_simhash_pairs(spark, sf_dir):
 
 def _neardup_embeddings(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs: LSH bucket join + exact cosine
-    verify — the all-pairs O(N^2) never materializes."""
+    verify — the all-pairs O(N^2) never materializes.
+
+    The synthetic embeddings carry no organic near-dups at 0.9, so the entry
+    plants deterministic twins (every 25th vector perturbed by 0.1x its
+    neighbor -> cos ~0.995) before the pipeline runs; the oracle plants the
+    same twins in SQL. The result set is therefore NON-empty and every
+    surviving (bucket-collision + cosine-verified) pair is hash-compared."""
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    planted = (
+        a.join(b, F.col("b.vec_id") == F.col("a.vec_id") + 1)
+        .filter(F.col("a.vec_id") % 25 == 0)
+        .select(
+            (F.col("a.vec_id") + 1_000_000).alias("vec_id"),
+            F.zip_with(
+                F.col("a.embedding"), F.col("b.embedding"),
+                lambda x, y: x + F.lit(0.1) * y,
+            ).alias("embedding"),
+        )
+    )
     return similarity.all_pairs_above(
-        _t(spark, sf_dir, "embeddings"), threshold=0.9, n_planes=4
+        base.unionByName(planted), threshold=0.9, n_planes=4
     )
 
 
@@ -793,6 +816,49 @@ def _ft_scoped_title(spark, sf_dir):
     )
 
 
+def _cardsearch_random_page2(spark, sf_dir):
+    """Reproducibly-random sampling, page 2: page 1 is the seeded random
+    sample over live docs; the 'random' cursor carries [seed, offset,
+    first_page_ids]; page 2 re-randomizes seeded on the first page's ids and
+    excludes them (trovesearch_denorm.py:739-803, page_cursor.py:125-144).
+    The oracle reproduces BOTH orderings from the md5 shuffle-key formula —
+    a page-2 match implies the page-1 sample matched too."""
+    from .query.paging import PageCursor
+    from .query.params import CardsearchParams, compile_cardsearch
+
+    idx = _indexed(spark, sf_dir)
+    p1 = compile_cardsearch(CardsearchParams(page_size=13), idx, random_seed="r3")
+    ids = [r["doc_id"] for r in p1.collect()]
+    cur = PageCursor("random", ["r3", 13, ids])
+    return compile_cardsearch(
+        CardsearchParams(page_size=13, cursor=cur), idx, random_seed="r3"
+    )
+
+
+_RANDOM_PAGE2_ORACLE = """
+WITH ranked AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('r3' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+           AS rk
+  FROM documents
+),
+p1 AS (SELECT doc_id, rk FROM ranked ORDER BY rk, doc_id LIMIT 13),
+seed2 AS (
+  SELECT string_agg(CAST(doc_id AS VARCHAR), '' ORDER BY rk, doc_id) AS s
+  FROM p1
+),
+rest AS (
+  SELECT d.doc_id,
+         ('0x' || substr(md5((SELECT s FROM seed2)
+                             || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+           AS rk2
+  FROM documents d
+  WHERE d.doc_id NOT IN (SELECT doc_id FROM p1)
+)
+SELECT doc_id FROM rest ORDER BY rk2, doc_id LIMIT 13
+"""
+
+
 def _rdf_extract_engine(spark, sf_dir):
     """Turtle ingest end-to-end: build a turtle document per row (JVM
     concat), parse + GraphWalk in the vectorized extractor (rdf.py), emit
@@ -913,6 +979,7 @@ QUERIES = {
     "ft_filtered_topk": _ft_filtered_topk,
     "ft_phrase_rank": _ft_phrase_rank,
     "ft_scoped_title": _ft_scoped_title,
+    "cardsearch_random_page2": _cardsearch_random_page2,
     "rdf_extract_values": _rdf_extract_engine,
     "feed_recent": _feed_recent,
     "latest_event_per_user": _latest_event_per_user,
@@ -1197,13 +1264,20 @@ FROM dots CROSS JOIN qn
 """
 
 
-def _lsh_bucket_oracle(n_planes: int = 4) -> str:
-    return f"""
-WITH e AS (
+def _lsh_bucket_oracle(n_planes: int = 4, long_src: str | None = None) -> str:
+    """`long_src` names an existing (vec_id, i, v) long CTE to hash instead
+    of expanding the embeddings parquet (the planted-twin oracle uses it)."""
+    e_cte = (
+        """e AS (
   SELECT vec_id, generate_subscripts(embedding, 1) AS i,
          unnest(embedding)::DOUBLE AS v
   FROM embeddings
-),
+)"""
+        if long_src is None
+        else f"e AS (SELECT vec_id, i, v FROM {long_src})"
+    )
+    return f"""
+WITH {e_cte},
 proj AS (
   SELECT vec_id, p.p,
          sum(v * CASE WHEN ('0x' || substr(md5('p' || p.p || '#' || (i - 1)), 1, 1))::INT % 2 = 0
@@ -1343,13 +1417,20 @@ ORACLES = {
         FROM cand WHERE bit_count(xor(sa, sb)) <= 3
     """,
     "neardup_embeddings": f"""
-        WITH sig AS ({_lsh_bucket_oracle(4)}),
-        e AS (
+        WITH base AS (
           SELECT vec_id, generate_subscripts(embedding, 1) AS i,
                  unnest(embedding)::DOUBLE AS v
           FROM embeddings
         ),
-        norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY vec_id),
+        -- planted near-dup twins: every 25th vector + 0.1x its neighbor
+        planted AS (
+          SELECT a.vec_id + 1000000 AS vec_id, a.i, a.v + 0.1 * b.v AS v
+          FROM base a JOIN base b ON b.vec_id = a.vec_id + 1 AND b.i = a.i
+          WHERE a.vec_id % 25 = 0
+        ),
+        aug AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+        sig AS ({_lsh_bucket_oracle(4, long_src="aug")}),
+        norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM aug GROUP BY vec_id),
         cand AS (
           SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
           FROM sig a JOIN sig b
@@ -1358,8 +1439,8 @@ ORACLES = {
         dots AS (
           SELECT c.vec_a, c.vec_b, sum(ea.v * eb.v) AS dot
           FROM cand c
-          JOIN e ea ON ea.vec_id = c.vec_a
-          JOIN e eb ON eb.vec_id = c.vec_b AND eb.i = ea.i
+          JOIN aug ea ON ea.vec_id = c.vec_a
+          JOIN aug eb ON eb.vec_id = c.vec_b AND eb.i = ea.i
           GROUP BY c.vec_a, c.vec_b
         )
         SELECT vec_a, vec_b, round(dot / (na.nrm * nb.nrm), 6) AS cos
@@ -1488,6 +1569,7 @@ ORACLES = {
     "ft_filtered_topk": _FT_FILTERED_ORACLE,
     "ft_phrase_rank": _FT_PHRASE_RANK_ORACLE,
     "ft_scoped_title": _FT_SCOPED_ORACLE,
+    "cardsearch_random_page2": _RANDOM_PAGE2_ORACLE,
     "rdf_extract_values": _RDF_EXTRACT_ORACLE,
     "iri_normalize": """
         SELECT doc_id,

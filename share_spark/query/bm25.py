@@ -143,7 +143,12 @@ def live_postings(index: IndexReader, terms: list[str]) -> DataFrame:
     rows = decode_blocks(blocks)
     tomb = index.tombstones()
     if tomb is not None:
-        rows = rows.join(F.broadcast(tomb), "doc_id", "left").filter(
+        # no broadcast hint: tombstone volume is unbounded between
+        # compactions — AQE picks broadcast when the set is actually small,
+        # and falls back to a shuffle join instead of OOMing the executors
+        # (the WAND path pushes the same set through its chunk-cogrouped aux
+        # channel, wand.py; this exact path is the verification/debug tier)
+        rows = rows.join(tomb, "doc_id", "left").filter(
             F.col("before_gen").isNull() | (F.col("gen") >= F.col("before_gen"))
         ).drop("before_gen")
     return rows
@@ -215,7 +220,8 @@ def positions_rows(index: IndexReader, terms: list[str]) -> DataFrame:
     rows = blocks.mapInPandas(_decode, schema=POSITIONS_SCHEMA)
     tomb = index.tombstones()
     if tomb is not None:
-        rows = rows.join(F.broadcast(tomb), "doc_id", "left").filter(
+        # un-hinted for the same reason as live_postings: let AQE size it
+        rows = rows.join(tomb, "doc_id", "left").filter(
             F.col("before_gen").isNull() | (F.col("gen") >= F.col("before_gen"))
         ).drop("before_gen")
     return rows

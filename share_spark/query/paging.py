@@ -6,11 +6,13 @@ Reference parity:
   (trove/trovesearch/page_cursor.py:16-19,27-59)
 - OAI-PMH keyset pagination: filter(id > last).orderBy(id).limit(n+1)
   (share/oaipmh/indexcard_repository.py:199-242, PAGE_SIZE=13)
-- random sampling first page: unseeded random order when no text/sort/filter;
+- random sampling first page: unseeded random order when no text/sort;
   subsequent pages re-randomize seeded on the first page's ids, excluding
   them (trovesearch_denorm.py:739-803, page_cursor.py:125-144). Here the
-  sample is always seeded (deterministic) via xxhash64(seed || doc_id) — the
-  same trick the reference uses for pages >= 2, applied uniformly.
+  sample is always seeded (deterministic): the shuffle key is the first 60
+  bits of md5(seed || doc_id) — the same trick the reference uses for pages
+  >= 2, applied uniformly, with md5 (not xxhash64) so an ANSI-SQL oracle can
+  reproduce the exact ordering.
 """
 
 from __future__ import annotations
@@ -87,24 +89,49 @@ def keyset_page(
     return rows, page_size
 
 
+def seeded_rank_col(seed: str, id_col: str):
+    """Deterministic shuffle key: first 60 bits of md5(seed || id), as int64.
+    SQL twin: ('0x' || substr(md5(seed || CAST(id AS VARCHAR)), 1, 15))::BIGINT
+    — the same md5->int64 trick the dedup oracles pin, so the random page
+    ordering is oracle-checkable bit-for-bit."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string"))), 1, 15),
+        16, 10,
+    ).cast("long")
+
+
+def random_page_seed(first_page_ids: list) -> str:
+    """Pages >= 2 seed: the concatenated first-page ids, in page order (the
+    reference's random_score seed = ''.join(first_page_ids),
+    trovesearch_denorm.py:795-803)."""
+    return "".join(str(i) for i in first_page_ids)
+
+
 def seeded_random_page(
     df: DataFrame,
     id_col: str,
     seed: str,
     page_size: int,
     exclude_ids: list | None = None,
+    offset: int = 0,
 ) -> DataFrame:
-    """Reproducibly-random ordering: xxhash64(seed || id) is a deterministic
-    shuffle key (the reference seeds ES random_score with the first page's
-    ids, trovesearch_denorm.py:787-803). Fully distributed: TakeOrdered."""
+    """Reproducibly-random ordering via seeded_rank_col (the reference seeds
+    ES random_score with the first page's ids, trovesearch_denorm.py:787-803).
+    Fully distributed: TakeOrdered over offset+page_size, window on the tiny
+    remainder."""
     out = df
     if exclude_ids:
         out = out.filter(~F.col(id_col).isin(exclude_ids))
-    return (
-        out.withColumn(
-            "_rk", F.xxhash64(F.concat(F.lit(seed), F.col(id_col).cast("string")))
+    ranked = out.withColumn("_rk", seeded_rank_col(seed, id_col))
+    order = [F.asc("_rk"), F.asc(id_col)]
+    page = ranked.orderBy(*order).limit(offset + page_size)
+    if offset:
+        from pyspark.sql import Window
+
+        w = Window.orderBy(*order)
+        page = (
+            page.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") > offset)
+            .drop("_rn")
         )
-        .orderBy(F.asc("_rk"), F.asc(id_col))
-        .limit(page_size)
-        .drop("_rk")
-    )
+    return page.drop("_rk")

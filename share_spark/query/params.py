@@ -252,13 +252,18 @@ def compile_cardsearch(
     index: IndexReader,
     doc_values: DataFrame | None = None,
     field_index: "FieldIndex | None" = None,
+    random_seed: str = "0",
 ) -> DataFrame:
     """CardsearchParams -> result DataFrame (doc_id [, score] [, rank]).
 
     Text present -> relevance ranking via WAND; structured filters are
     compiled to the matching doc-id set and PUSHED INTO the WAND kernel
     (filter_docs), so pages are always full — no overfetch heuristics, no
-    short pages when filters are selective. No text -> filter-sort-page plan.
+    short pages when filters are selective. No text + sort -> filter-sort-
+    page plan. No text + no sort -> reproducibly-random sample ordered by a
+    seeded md5 shuffle key (`random_seed` picks the page-1 sample; cursor
+    type 'random' = [seed, start_offset, first_page_ids] replays/extends it,
+    the ReproduciblyRandomSampleCursor analog).
 
     Path-scoped text (cardSearchText[path,...], search_params.py:139-186)
     requires a FieldIndex built over per-path text rows; passing text_paths
@@ -268,8 +273,16 @@ def compile_cardsearch(
     from .wand import wand_topk
 
     offset = 0
-    if params.cursor and params.cursor.type_key == "offset" and params.cursor.args:
-        offset = int(params.cursor.args[0])
+    rnd_cursor: tuple[str, list] | None = None  # (page1 seed, first_page_ids)
+    if params.cursor and params.cursor.args:
+        if params.cursor.type_key == "offset":
+            offset = int(params.cursor.args[0])
+        elif params.cursor.type_key == "random":
+            # ReproduciblyRandomSampleCursor analog (page_cursor.py:125-144):
+            # [seed, start_offset, first_page_ids]
+            seed = str(params.cursor.args[0])
+            offset = int(params.cursor.args[1])
+            rnd_cursor = (seed, list(params.cursor.args[2]))
 
     filter_ids = None
     if params.filters:
@@ -299,46 +312,61 @@ def compile_cardsearch(
         )
 
     docs = filter_ids if filter_ids is not None else index.live_docs().select("doc_id")
-    if params.sort:
-        if doc_values is None:
-            raise ValueError("sort requires a doc_values table")
-        # one NUMERIC sort key for either value type: dates as epoch days,
-        # ints as themselves (string-casting ints would sort '100' < '20')
-        sort_vals = doc_values.filter(
-            F.col("path_key") == params.sort.field
-        ).select(
-            "doc_id",
-            F.coalesce(
-                F.datediff(F.col("date_value"), F.lit("1970-01-01").cast("date")).cast("long"),
-                F.col("int_value"),
-            ).alias("_sv"),
+    if not params.sort:
+        # no text + no sort -> reproducibly-random sample, the reference's
+        # ReproduciblyRandomSampleCursor plan (trovesearch_denorm.py:739-803):
+        # page 1 is a seeded random order; pages >= 2 re-randomize seeded on
+        # the first page's ids and exclude them; revisiting page 1 replays
+        # the remembered ids.
+        from .paging import random_page_seed, seeded_random_page
+
+        if rnd_cursor is not None:
+            page1_seed, first_ids = rnd_cursor
+            if offset == 0:  # returning to a previously-visited first page
+                return seeded_random_page(
+                    docs.filter(F.col("doc_id").isin(first_ids)),
+                    "doc_id", page1_seed, params.page_size,
+                )
+            return seeded_random_page(
+                docs, "doc_id", random_page_seed(first_ids), params.page_size,
+                exclude_ids=first_ids,
+                offset=offset - len(first_ids),
+            )
+        return seeded_random_page(
+            docs, "doc_id", random_seed, params.page_size, offset=offset
         )
-        # multivalue semantics: ES sort mode max for desc / min for asc —
-        # and one row per doc, so the join can't fan out the result
-        agg = F.max("_sv") if params.sort.descending else F.min("_sv")
-        sort_vals = sort_vals.groupBy("doc_id").agg(agg.alias("_sv"))
-        docs = docs.join(sort_vals, "doc_id", "left")
-        primary = (
-            F.desc_nulls_last("_sv") if params.sort.descending else F.asc_nulls_last("_sv")
-        )
-        ordered = docs.orderBy(primary, F.asc("doc_id"))
-    else:
-        ordered = docs.orderBy(F.asc("doc_id"))
-    out = ordered.limit(offset + params.page_size)
+    if doc_values is None:
+        raise ValueError("sort requires a doc_values table")
+    # one NUMERIC sort key for either value type: dates as epoch days,
+    # ints as themselves (string-casting ints would sort '100' < '20')
+    sort_vals = doc_values.filter(
+        F.col("path_key") == params.sort.field
+    ).select(
+        "doc_id",
+        F.coalesce(
+            F.datediff(F.col("date_value"), F.lit("1970-01-01").cast("date")).cast("long"),
+            F.col("int_value"),
+        ).alias("_sv"),
+    )
+    # multivalue semantics: ES sort mode max for desc / min for asc —
+    # and one row per doc, so the join can't fan out the result
+    agg = F.max("_sv") if params.sort.descending else F.min("_sv")
+    sort_vals = sort_vals.groupBy("doc_id").agg(agg.alias("_sv"))
+    docs = docs.join(sort_vals, "doc_id", "left")
+    primary = (
+        F.desc_nulls_last("_sv") if params.sort.descending else F.asc_nulls_last("_sv")
+    )
+    out = docs.orderBy(primary, F.asc("doc_id")).limit(offset + params.page_size)
     if offset:
         from pyspark.sql import Window
 
-        w = Window.orderBy(
-            *(
-                [primary, F.asc("doc_id")] if params.sort else [F.asc("doc_id")]
-            )
-        )
+        w = Window.orderBy(primary, F.asc("doc_id"))
         out = (
             out.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") > offset)
             .drop("_rn")
         )
-    return out.drop("_sv") if params.sort else out
+    return out.drop("_sv")
 
 
 def compile_valuesearch(

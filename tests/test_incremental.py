@@ -58,6 +58,32 @@ def test_expel_soft_delete(spark, base_index):
     assert _hits(idx1, "danger") == _hits(idx0, "danger") - set(victims)
 
 
+def test_mass_tombstones_unhinted_join_and_rank_identity(spark, base_index):
+    """The exact path and live_docs must survive an unbounded tombstone set:
+    no broadcast HINT on the tombstone join (AQE may still pick broadcast at
+    runtime from actual size — the point is nothing forces a 10^8-row set
+    into driver memory), and rank identity exact-vs-WAND is preserved."""
+    from share_spark.query.bm25 import exact_topk, live_postings
+
+    d, _ = base_index
+    idx0 = IndexReader.open(spark, d)
+    victims = sorted(_hits(idx0, "danger"))[:2]
+    # 10^5 tombstones: 2 real victims + the rest outside the doc-id range
+    expel(spark, d, victims + list(range(10_000_000, 10_099_998)))
+
+    idx1 = IndexReader.open(spark, d)
+    live = idx1.live_docs()
+    postings = live_postings(idx1, ["danger"])
+    for df in (live, postings):
+        plan = df._jdf.queryExecution().analyzed().toString()
+        assert "ResolvedHint" not in plan, plan
+    assert set(victims).isdisjoint({r["doc_id"] for r in live.collect()})
+    ex = [r["doc_id"] for r in exact_topk(idx1, "danger", k=300).collect()]
+    wd = [r["doc_id"] for r in wand_topk(idx1, "danger", k=300).collect()]
+    assert ex == wd and set(victims).isdisjoint(ex)
+    assert set(ex) == _hits(idx0, "danger") - set(victims)
+
+
 def test_compact_equals_fresh_rebuild(spark, base_index, tmp_path):
     d, pages = base_index
     target = int(pages.iloc[5].doc_id)

@@ -81,3 +81,38 @@ def test_seeded_random_reproducible_and_exhaustive(docs55):
         ).collect()
     ]
     assert not set(p1) & set(p2)
+
+
+def test_random_cursor_full_walk_through_compile(built_index):
+    """compile_cardsearch with no text/sort/filter is the reproducibly-random
+    plan: page 1 seeded sample, cursor type 'random' walks pages >= 2 with
+    first-page exclusion — every live doc seen exactly once across the walk,
+    and revisiting page 1 replays the remembered ids in order."""
+    from share_spark.query.params import CardsearchParams, compile_cardsearch
+
+    n_docs = built_index.live_docs().count()
+    size = 50
+    p1 = [r["doc_id"] for r in compile_cardsearch(
+        CardsearchParams(page_size=size), built_index, random_seed="walk"
+    ).collect()]
+    assert len(p1) == size
+    seen = list(p1)
+    offset = size
+    while True:
+        cur = PageCursor("random", ["walk", offset, p1])
+        page = [r["doc_id"] for r in compile_cardsearch(
+            CardsearchParams(page_size=size, cursor=cur),
+            built_index, random_seed="walk",
+        ).collect()]
+        if not page:
+            break
+        seen.extend(page)
+        offset += size
+        assert offset < n_docs + 2 * size  # safety against infinite loop
+    assert len(seen) == len(set(seen)) == n_docs  # each doc exactly once
+    # revisit page 1: same ids, same order
+    revisit = [r["doc_id"] for r in compile_cardsearch(
+        CardsearchParams(page_size=size, cursor=PageCursor("random", ["walk", 0, p1])),
+        built_index, random_seed="walk",
+    ).collect()]
+    assert revisit == p1
