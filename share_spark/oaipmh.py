@@ -104,6 +104,59 @@ def _iso_z(dt) -> str:
     return dt.astimezone(timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ")
 
 
+def build_oai_cards(
+    cards: DataFrame,
+    latest_descriptions: DataFrame,
+    suids: DataFrame,
+    source_configs: DataFrame,
+    derived: DataFrame,
+    metadata_deriver: str = "oai_dc",
+) -> DataFrame:
+    """Derive the OaiRepository cards table from NORMALIZED inputs — the
+    Spark join plan of the reference's per-card annotate subqueries
+    (indexcard_repository.py:244-271):
+
+      base       = Indexcard WHERE deleted IS NULL            (:245-246)
+      datestamp  = LatestResourceDescription.modified          (:249-255)
+      setspec    = suid -> source_config -> source name        (:256)
+      metadata   = DerivedIndexcard.derived_text for deriver   (:258-271);
+                   cards without a derived row for the prefix are excluded
+                   (:203-207 deriver filter)
+
+    Input schemas:
+      cards:               (card_id, suid_id, deleted boolean-ish/null)
+      latest_descriptions: (card_id, modified timestamp) — collapsed to the
+                           max per card (the reference keeps exactly one
+                           LatestResourceDescription per card; max is the
+                           idempotent reduction if ingest raced)
+      suids:               (suid_id, identifier, source_config_id)
+      source_configs:      (source_config_id, source_name) — small dim,
+                           broadcast
+      derived:             (card_id, deriver_id, derived_text)
+
+    Scale shape: one shuffle each on card_id / suid_id (co-partitionable by
+    bucketing both on their keys); source_configs broadcasts.
+    """
+    live = cards.filter(F.col("deleted").isNull()).select("card_id", "suid_id")
+    stamps = latest_descriptions.groupBy("card_id").agg(
+        F.max("modified").alias("datestamp")
+    )
+    meta = (
+        derived.filter(F.col("deriver_id") == metadata_deriver)
+        .groupBy("card_id")
+        .agg(F.max("derived_text").alias("metadata_xml"))
+    )
+    suid_src = suids.join(
+        F.broadcast(source_configs), "source_config_id"
+    ).select("suid_id", "identifier", F.col("source_name").alias("setspec"))
+    return (
+        live.join(suid_src, "suid_id")
+        .join(stamps, "card_id")
+        .join(meta, "card_id")  # inner: no derived text -> not exposed
+        .select("card_id", "identifier", "datestamp", "setspec", "metadata_xml")
+    )
+
+
 @dataclass
 class OaiRepository:
     """The verb handlers; `cards` is the indexcard DataFrame (see module

@@ -816,6 +816,75 @@ def _ft_scoped_title(spark, sf_dir):
     )
 
 
+def _oai_annotate(spark, sf_dir):
+    """build_oai_cards: the reference's per-card annotate subqueries
+    (indexcard_repository.py:244-271) as one Spark join plan over normalized
+    fixture tables derived from documents. Deleted cards and cards without a
+    derived record for the requested metadataPrefix are excluded; the
+    datestamp is the LATEST description (an older decoy row is planted for
+    every 5th card); a second deriver's rows are planted to prove the prefix
+    filter. datestamp is rendered as a string for the value-hash compare."""
+    from .oaipmh import build_oai_cards
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    cards = docs.select(
+        d.alias("card_id"),
+        (d * 2).alias("suid_id"),
+        F.when(d % 97 == 0, F.lit(1)).alias("deleted"),
+    )
+    base_ts = F.date_add(F.lit("1995-01-01").cast("date"), (d % 2000).cast("int"))
+    latest = docs.select(
+        d.alias("card_id"), base_ts.cast("timestamp").alias("modified")
+    ).unionByName(
+        docs.filter(d % 5 == 0).select(  # older decoy: max() must win
+            d.alias("card_id"),
+            F.date_sub(base_ts, 40).cast("timestamp").alias("modified"),
+        )
+    )
+    suids = docs.select(
+        (d * 2).alias("suid_id"),
+        F.concat(F.lit("rec-"), d.cast("string")).alias("identifier"),
+        (d % 4).alias("source_config_id"),
+    )
+    source_configs = spark.createDataFrame(
+        [(i, f"src{i}") for i in range(4)],
+        "source_config_id long, source_name string",
+    )
+    derived = docs.filter(d % 3 != 0).select(
+        d.alias("card_id"),
+        F.lit("oai_dc").alias("deriver_id"),
+        F.concat(
+            F.lit("<dc:title>Doc "), d.cast("string"), F.lit("</dc:title>")
+        ).alias("derived_text"),
+    ).unionByName(
+        docs.select(  # other-deriver rows must not leak into oai_dc
+            d.alias("card_id"),
+            F.lit("turtle").alias("deriver_id"),
+            F.lit("<ttl/>").alias("derived_text"),
+        )
+    )
+    out = build_oai_cards(cards, latest, suids, source_configs, derived)
+    return out.select(
+        "card_id", "identifier",
+        F.date_format("datestamp", "yyyy-MM-dd'T'HH:mm:ss").alias("datestamp"),
+        "setspec", "metadata_xml",
+    )
+
+
+_OAI_ANNOTATE_ORACLE = """
+    SELECT doc_id AS card_id,
+           'rec-' || CAST(doc_id AS VARCHAR) AS identifier,
+           strftime(CAST(DATE '1995-01-01' + CAST(doc_id % 2000 AS INT)
+                         AS TIMESTAMP), '%Y-%m-%dT%H:%M:%S') AS datestamp,
+           'src' || CAST(doc_id % 4 AS VARCHAR) AS setspec,
+           '<dc:title>Doc ' || CAST(doc_id AS VARCHAR) || '</dc:title>'
+             AS metadata_xml
+    FROM documents
+    WHERE doc_id % 97 <> 0 AND doc_id % 3 <> 0
+"""
+
+
 def _cardsearch_random_page2(spark, sf_dir):
     """Reproducibly-random sampling, page 2: page 1 is the seeded random
     sample over live docs; the 'random' cursor carries [seed, offset,
@@ -979,6 +1048,7 @@ QUERIES = {
     "ft_filtered_topk": _ft_filtered_topk,
     "ft_phrase_rank": _ft_phrase_rank,
     "ft_scoped_title": _ft_scoped_title,
+    "oai_annotate": _oai_annotate,
     "cardsearch_random_page2": _cardsearch_random_page2,
     "rdf_extract_values": _rdf_extract_engine,
     "feed_recent": _feed_recent,
@@ -1569,6 +1639,7 @@ ORACLES = {
     "ft_filtered_topk": _FT_FILTERED_ORACLE,
     "ft_phrase_rank": _FT_PHRASE_RANK_ORACLE,
     "ft_scoped_title": _FT_SCOPED_ORACLE,
+    "oai_annotate": _OAI_ANNOTATE_ORACLE,
     "cardsearch_random_page2": _RANDOM_PAGE2_ORACLE,
     "rdf_extract_values": _RDF_EXTRACT_ORACLE,
     "iri_normalize": """

@@ -32,10 +32,15 @@ from __future__ import annotations
 import json
 import os
 import threading
+from collections import OrderedDict
 from dataclasses import dataclass, field
 
 import numpy as np
 import pandas as pd
+
+
+def _entry_nbytes(entry: tuple) -> int:
+    return sum(a.nbytes for a in entry)
 
 from ..index.build import IndexReader
 from .bm25 import ParsedQuery, parse_query
@@ -54,9 +59,15 @@ class TopKServer:
     b: float = 0.75
     analyzer: str = "standard"
     max_cached_terms: int = 4096
+    # decoded-postings budget in BYTES: one head term's arrays can be GBs at
+    # 10^9 postings, so a count bound alone cannot cap residency
+    max_cache_bytes: int = 512 << 20
     _gens: list[dict] = field(default_factory=list)
-    _term_cache: dict = field(default_factory=dict)  # term -> pdf of blocks
-    _stats_cache: dict = field(default_factory=dict)  # term -> df (int)
+    # term -> decoded (ids, tfs, dls, pos, gens); true LRU: moved to end on
+    # every hit, evicted from the front by accumulated nbytes
+    _term_cache: "OrderedDict[str, tuple]" = field(default_factory=OrderedDict)
+    _term_cache_nbytes: int = 0
+    _stats_cache: dict = field(default_factory=dict)  # term -> df (int, tiny)
     _tomb: tuple | None = None
     _tomb_mtime: float = -1.0
     _n_docs: int = 0
@@ -64,7 +75,10 @@ class TopKServer:
     # pyarrow datasets cached per (gen, stage): dataset() re-lists the
     # directory and re-parses every parquet footer per call — per-query
     # that's O(files) metadata IO; cached, a term read touches only the
-    # row groups its stats admit
+    # row groups its stats admit. Unbounded BY DESIGN but bounded BY
+    # STRUCTURE: keys are (gen, stage) + one "rgterms" entry per row group,
+    # so residency is O(row groups) of the open generations (the term
+    # dictionary itself), cleared whenever the generation list changes.
     _dsets: dict = field(default_factory=dict)
     # coarse lock over cache fill/eviction — a serving tier answers many
     # queries concurrently; scoring itself is lock-free numpy
@@ -93,6 +107,7 @@ class TopKServer:
             g["generation"] for g in self._gens
         ]:
             self._term_cache.clear()
+            self._term_cache_nbytes = 0
             self._stats_cache.clear()
             self._dsets.clear()
         self._gens = gens
@@ -274,7 +289,12 @@ class TopKServer:
             varint_decode,
         )
 
-        missing = [t for t in terms if t not in self._term_cache]
+        missing = []
+        for t in terms:
+            if t in self._term_cache:
+                self._term_cache.move_to_end(t)  # LRU touch
+            else:
+                missing.append(t)
         if not missing:
             return
         frames: dict[str, list[pd.DataFrame]] = {t: [] for t in missing}
@@ -297,7 +317,7 @@ class TopKServer:
         )
         for t in missing:
             if not frames[t]:
-                self._term_cache[t] = empty
+                self._cache_put(t, empty)
                 continue
             pdf = pd.concat(frames[t], ignore_index=True).sort_values(
                 ["gen", "first_doc"], kind="mergesort"
@@ -322,15 +342,42 @@ class TopKServer:
             ids = np.concatenate(ids_l)
             tfs = np.concatenate(tfs_l)
             order = np.argsort(ids, kind="stable")
-            self._term_cache[t] = (
-                ids[order],
-                tfs[order],
-                np.concatenate(dls_l)[order],
-                gather_groups(np.concatenate(pos_l), tfs, order),
-                np.concatenate(gens_l)[order],
+            self._cache_put(
+                t,
+                (
+                    ids[order],
+                    tfs[order],
+                    np.concatenate(dls_l)[order],
+                    gather_groups(np.concatenate(pos_l), tfs, order),
+                    np.concatenate(gens_l)[order],
+                ),
             )
-        while len(self._term_cache) > self.max_cached_terms:
-            self._term_cache.pop(next(iter(self._term_cache)))
+        self._evict(protect=set(terms))
+
+    def _cache_put(self, term: str, entry: tuple) -> None:
+        old = self._term_cache.pop(term, None)
+        if old is not None:
+            self._term_cache_nbytes -= _entry_nbytes(old)
+        self._term_cache[term] = entry
+        self._term_cache_nbytes += _entry_nbytes(entry)
+
+    def _evict(self, protect: set) -> None:
+        """Evict least-recently-used terms until BOTH bounds hold: entry
+        count <= max_cached_terms and resident bytes <= max_cache_bytes.
+        Terms of the in-flight query are never evicted (they're about to be
+        scored), so a single query wider than the budget still completes."""
+        while (
+            len(self._term_cache) > self.max_cached_terms
+            or self._term_cache_nbytes > self.max_cache_bytes
+        ):
+            victim = next(
+                (t for t in self._term_cache if t not in protect), None
+            )
+            if victim is None:
+                break
+            self._term_cache_nbytes -= _entry_nbytes(
+                self._term_cache.pop(victim)
+            )
 
     def _df_of(self, terms: list[str]) -> dict[str, int]:
         missing = [t for t in terms if t not in self._stats_cache]

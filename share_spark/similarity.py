@@ -172,17 +172,25 @@ def ivf_fit(
     n_iters: int = 5,
     sample_rows: int = 4096,
     vec_col: str = "embedding",
+    sample_seed: str = "ivf",
 ) -> "np.ndarray":
     """IVF coarse quantizer: k-means centroids fit on a bounded sample.
 
-    Deterministic: the sample is the `sample_rows` smallest vec_ids (a
-    TakeOrdered, no randomness), init = the first n_lists sample vectors,
-    Lloyd iterations in float64. The sample is bounded regardless of N —
-    at 10^12 vectors the fit cost is constant; only assignment scans the
-    table. Returns the (n_lists, dim) centroid matrix (broadcast it)."""
+    Deterministic AND unbiased: the sample is the `sample_rows` smallest
+    xxhash64(seed || vec_id) values — a seeded hash-order TakeOrdered, so
+    the quantizer sees a uniform slice of the id space (smallest-ids
+    sampling would underfit any distribution correlated with insert order:
+    time-clustered embeddings, per-source id ranges). Init = the first
+    n_lists sample vectors, Lloyd iterations in float64. The sample is
+    bounded regardless of N — at 10^12 vectors the fit cost is constant;
+    only assignment scans the table. Returns the (n_lists, dim) centroid
+    matrix (broadcast it)."""
     rows = (
         embeddings.select("vec_id", vec_col)
-        .orderBy("vec_id")
+        .orderBy(
+            F.xxhash64(F.concat(F.lit(sample_seed), F.col("vec_id").cast("string"))),
+            "vec_id",
+        )
         .limit(sample_rows)
         .collect()
     )

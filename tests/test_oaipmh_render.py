@@ -206,3 +206,58 @@ def test_strip_illegal_and_prepare():
     assert prepare_xml_string("x &amp; y") == "x & y"
     assert prepare_xml_string(None) is None
     assert prepare_xml_string("") == ""
+
+
+def test_build_oai_cards_joins_and_all_verbs(spark):
+    """build_oai_cards derives the cards table from normalized inputs
+    (indexcard_repository.py:244-271 annotate subqueries as joins):
+    deleted cards excluded, latest description wins, setspec via the
+    suid->source_config dim, other derivers filtered out — and the full
+    six-verb surface runs over the result."""
+    from datetime import datetime
+
+    from share_spark.oaipmh import build_oai_cards
+
+    cards = spark.createDataFrame(
+        [(i, i * 10, 1 if i == 3 else None) for i in range(6)],
+        "card_id long, suid_id long, deleted int",
+    )
+    latest = spark.createDataFrame(
+        [(i, datetime(2001, 1, 1 + i, 12, 0, 0)) for i in range(6)]
+        + [(2, datetime(2000, 5, 5))],  # older decoy for card 2
+        "card_id long, modified timestamp",
+    )
+    suids = spark.createDataFrame(
+        [(i * 10, f"uuid-{i:04d}", i % 2) for i in range(6)],
+        "suid_id long, identifier string, source_config_id long",
+    )
+    source_configs = spark.createDataFrame(
+        [(0, "src0"), (1, "src1")],
+        "source_config_id long, source_name string",
+    )
+    derived = spark.createDataFrame(
+        [(i, "oai_dc", f"<oai_dc:dc><dc:title>Doc {i}</dc:title></oai_dc:dc>")
+         for i in range(6) if i != 4]
+        + [(4, "turtle", "<ttl/>")],  # wrong deriver: card 4 not exposed
+        "card_id long, deriver_id string, derived_text string",
+    )
+    built = build_oai_cards(cards, latest, suids, source_configs, derived)
+    rows = {r["card_id"]: r for r in built.collect()}
+    assert set(rows) == {0, 1, 2, 5}  # 3 deleted, 4 wrong deriver
+    assert rows[2]["datestamp"] == datetime(2001, 1, 3, 12, 0, 0)  # max wins
+    assert rows[5]["setspec"] == "src1" and rows[0]["identifier"] == "uuid-0000"
+
+    repo2 = OaiRepository(
+        built, sets=[("src0", "Source Zero"), ("src1", "Source One")],
+        now=datetime(2002, 2, 2, tzinfo=timezone.utc),
+    )
+    assert "<Identify>" in _req(repo2, verb="Identify")
+    assert "oai_dc" in _req(repo2, verb="ListMetadataFormats")
+    assert "<setSpec>src0</setSpec>" in _req(repo2, verb="ListSets")
+    li = _req(repo2, verb="ListIdentifiers", metadataPrefix="oai_dc")
+    assert li.count("<header>") == 4
+    lr = _req(repo2, verb="ListRecords", metadataPrefix="oai_dc")
+    assert lr.count("<record>") == 4 and "Doc 5" in lr and "Doc 4" not in lr
+    gr = _req(repo2, verb="GetRecord", metadataPrefix="oai_dc",
+              identifier=repo2.oai_identifier("uuid-0002"))
+    assert "Doc 2" in gr and "2001-01-03T12:00:00Z" in gr

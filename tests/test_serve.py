@@ -72,3 +72,36 @@ def test_serve_sees_incremental_updates(spark, pages_pdf, tmp_path):
     assert top_doc not in [d for _, d, _ in after]
     want = _x(exact_topk(IndexReader.open(spark, idx_dir), "danger", k=13))
     assert after == want
+
+
+def test_serve_cache_lru_byte_bounded(built_index):
+    """Cache hygiene: insert more decoded terms than the byte budget admits.
+    (a) a repeatedly-hit hot term survives (true LRU, not FIFO), (b) resident
+    bytes stay <= budget after every query, (c) results after eviction are
+    rank-identical to the exact scorer (re-decode, not corruption)."""
+    from share_spark.query.serve import _entry_nbytes
+
+    srv = TopKServer.open(built_index.index_dir)
+    baseline = _s(srv.topk("danger", k=13))
+    # budget: the hot term + one more typical entry, not the whole vocab
+    hot_size = _entry_nbytes(srv._term_cache["danger"])
+    srv.max_cache_bytes = int(hot_size * 3)
+    srv._evict(protect=set())
+
+    fillers = ["the", "data", "table", "merge", "window", "batch", "row",
+               "fast", "slow", "value", "hash", "scan", "science", "key"]
+    for i, t in enumerate(fillers):
+        srv.topk(t, k=5)
+        srv.topk("danger", k=5)  # keep the hot term recent
+        assert srv._term_cache_nbytes <= srv.max_cache_bytes
+        if i >= 3:
+            assert "danger" in srv._term_cache  # survives under pressure
+    # accounting invariant: tracked bytes == actual bytes
+    assert srv._term_cache_nbytes == sum(
+        _entry_nbytes(e) for e in srv._term_cache.values()
+    )
+    assert len(srv._term_cache) < len(fillers) + 1  # something was evicted
+    # (c) rank identity after heavy eviction, incl. a term long since evicted
+    assert _s(srv.topk("danger", k=13)) == baseline
+    want = _x(exact_topk(built_index, "the data", k=13))
+    assert _s(srv.topk("the data", k=13)) == want

@@ -139,3 +139,35 @@ def test_ivf_search_recall_and_determinism(spark):
     # full probe == brute force exactly
     full = [r["vec_id"] for r in ivf_search(assigned, C, q, k=10, n_probe=8).collect()]
     assert full == exact
+
+
+def test_ivf_fit_sample_unbiased_on_clustered_ids(spark):
+    """Quantizer-sample bias: ids 0..199 are cluster A (+10 in dim 0), ids
+    200..399 cluster B (-10). A smallest-ids sample of 100 rows sees ONLY
+    cluster A and underfits (no centroid near B); the seeded-hash sample
+    draws uniformly across the id space and represents both clusters, so
+    assignment stays balanced (bounded probe cost)."""
+    import numpy as np
+
+    from share_spark.similarity import ivf_assign, ivf_fit
+
+    def vec(i, center):
+        j = ((i * 37) % 100) / 100.0
+        return [center + j, j, -j, 0.5 * j]
+
+    rows = [(i, vec(i, 10.0)) for i in range(200)] + [
+        (200 + i, vec(i, -10.0)) for i in range(200)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    C = ivf_fit(emb, n_lists=4, sample_rows=100)
+    assert (C[:, 0] > 5).any() and (C[:, 0] < -5).any()  # both clusters seen
+
+    # the biased alternative: a fit that only ever sees the head of the id
+    # space (what orderBy(vec_id).limit() did) misses cluster B entirely
+    C_bias = ivf_fit(emb.filter("vec_id < 100"), n_lists=4, sample_rows=100)
+    assert not (C_bias[:, 0] < -5).any()
+
+    sizes = [r["count"] for r in
+             ivf_assign(emb, C).groupBy("ivf_list").count().collect()]
+    assert max(sizes) < 400  # not one degenerate giant list
