@@ -37,6 +37,7 @@ from .render import (
     df_triples,
     to_atom,
     to_csv,
+    to_html,
     to_jsonapi,
     to_jsonl,
     to_jsonld,
@@ -130,9 +131,8 @@ class SearchEngine:
     # -- outbound renderers ---------------------------------------------------
 
     def render(self, df: DataFrame, mediatype: str, **kw) -> object:
-        """Dispatch the full renderer registry (trove/render/__init__.py:19-31
-        minus the human html browse surface): csv / tsv / jsonapi / jsonl /
-        turtle / jsonld / rss / atom.
+        """Dispatch the full renderer registry (trove/render/__init__.py:19-31):
+        csv / tsv / jsonapi / jsonl / turtle / jsonld / rss / atom / html.
 
         `render_params` (query.params.TroveRenderParams) threads
         fields[TYPE] into jsonapi attribute selection and iriShorthand into
@@ -162,6 +162,8 @@ class SearchEngine:
             kw.setdefault("link", "urn:search")
             kw.setdefault("description", "")
             return to_rss(df, **kw)
+        if mediatype == "text/html":
+            return to_html(df, render_params=render_params, **kw)
         if mediatype == "application/atom+xml":
             kw.setdefault("title", "search results")
             kw.setdefault("link", "urn:search")

@@ -231,6 +231,42 @@ def to_turtle(
     return "\n".join(lines) + "\n"
 
 
+def to_html(
+    df: DataFrame,
+    title: str = "search results",
+    limit: int = 101,
+    render_params=None,
+    resource_type: str = "index-card",
+) -> str:
+    """Minimal HTML browse surface (trove/render/__init__.py:20 registers an
+    html renderer for human browsing): a deterministic table of the result
+    page — header row from the columns, arrays joined with ' ; ', everything
+    escaped exactly once. `render_params.fields_for(resource_type)` prunes
+    columns like the jsonapi renderer. Bounded like every page renderer."""
+    keep = render_params.fields_for(resource_type) if render_params else None
+    cols = [c for c in df.columns if keep is None or c in keep]
+    rows = df.select(*cols).limit(limit).collect()
+
+    def cell(v) -> str:
+        if isinstance(v, list):
+            v = MULTIVALUE_JOIN.join(str(x) for x in v)
+        return _xml_escape("" if v is None else str(v))
+
+    parts = [
+        "<!DOCTYPE html><html><head><meta charset=\"utf-8\">",
+        f"<title>{_xml_escape(title)}</title></head><body>",
+        f"<h1>{_xml_escape(title)}</h1><table><thead><tr>",
+        *(f"<th>{_xml_escape(c)}</th>" for c in cols),
+        "</tr></thead><tbody>",
+    ]
+    for r in rows:
+        parts.append("<tr>")
+        parts.extend(f"<td>{cell(r[c])}</td>" for c in cols)
+        parts.append("</tr>")
+    parts.append("</tbody></table></body></html>")
+    return "".join(parts)
+
+
 def df_triples(
     df: DataFrame,
     id_col: str = "doc_id",

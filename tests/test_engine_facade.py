@@ -86,6 +86,9 @@ def test_facade_renders_all_eight_mediatypes(engine):
     assert rss.startswith('<?xml') and "<rss" in rss and "<item>" in rss
     atom = engine.render(page, "application/atom+xml")
     assert "<feed" in atom and "<entry>" in atom
+    html = engine.render(page, "text/html", render_params=rp)
+    assert html.startswith("<!DOCTYPE html>") and "<table>" in html
+    assert "<th>score</th>" in html and "<th>doc_id</th>" not in html  # fields[*]
 
 
 def test_facade_ingest_refreshes_both_tiers(engine, spark, pages_pdf):
