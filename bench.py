@@ -145,6 +145,23 @@ def run(spark=None, emit=True) -> dict:
         getattr(QUERIES[name](spark, SF_DIR), action)()
         results[name] = round(time.time() - t0, 3)
 
+    # structured valuesearch plane: warm once (first call pays one-time
+    # codegen + cold parquet scans shared with every other query), then time
+    # the steady-state latency — same convention as the serve-tier numbers
+    QUERIES["valuesearch_full_engine"](spark, SF_DIR).collect()
+    t0 = time.time()
+    QUERIES["valuesearch_full_engine"](spark, SF_DIR).collect()
+    results["valuesearch_full_engine"] = round(time.time() - t0, 3)
+
+    # the production minhash path (xxhash64 permutation hashes; the benched
+    # dedup_minhash_lsh above keeps the md5 form its SQL oracle pins)
+    from share_spark.textops import minhash_lsh_pairs
+
+    docs_tbl = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    t0 = time.time()
+    minhash_lsh_pairs(docs_tbl, hash_fn="xxhash64").count()
+    results["dedup_minhash_lsh_fast"] = round(time.time() - t0, 3)
+
     total = round(time.time() - t_total, 3)
     shutil.rmtree(idx_dir, ignore_errors=True)
 

@@ -445,6 +445,37 @@ def _neardup_embeddings(spark, sf_dir):
     )
 
 
+def _fingerprint_winnow(spark, sf_dir):
+    """Winnowing rolling-hash fingerprints (k=8 chars, window w=4): the
+    SWA-2003 local fingerprinting scheme, all JVM-side (k-grams by
+    sequence+transform, md5->int64 gram hash, frame-bounded window MIN)."""
+    return textops.winnow_fingerprints(
+        _t(spark, sf_dir, "documents"), k=8, w=4
+    )
+
+
+_WINNOW_ORACLE = """
+    WITH grams AS (
+      SELECT doc_id, i AS pos,
+             ('0x' || substr(md5(substr(text, i, 8)), 1, 15))::BIGINT AS gh
+      FROM (
+        SELECT doc_id, text,
+               unnest(generate_series(1, greatest(length(text) - 7, 0))) AS i
+        FROM documents
+      )
+    ),
+    wins AS (
+      SELECT doc_id,
+             min(gh) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+             count(gh) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS n
+      FROM grams
+    )
+    SELECT DISTINCT doc_id, fp FROM wins WHERE n = 4
+"""
+
+
 def _text_quality(spark, sf_dir):
     out = textops.text_quality(_t(spark, sf_dir, "documents"))
     return out.select(
@@ -1057,6 +1088,7 @@ QUERIES = {
     "running_value_sum": _running_value_sum,
     # dedup / text pipeline
     "dedup_fingerprint": _dedup_fingerprint,
+    "fingerprint_winnow": _fingerprint_winnow,
     "dedup_jaccard3": _dedup_jaccard,
     "dedup_minhash_lsh": _dedup_minhash,
     "dedup_simhash": _dedup_simhash,
@@ -1467,6 +1499,7 @@ ORACLES = {
     """,
     "dedup_fingerprint":
         "SELECT doc_id, md5(text) AS fingerprint FROM documents",
+    "fingerprint_winnow": _WINNOW_ORACLE,
     "dedup_jaccard3": _jaccard_lsh_verified_oracle(),
     "dedup_minhash_lsh": _minhash_oracle(),
     "dedup_simhash": _simhash_oracle(),

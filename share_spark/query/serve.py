@@ -21,10 +21,11 @@ serves (SURVEY.md §1). This module is the "ES shard fetch" half:
 Scale shape: one server process serves one index; the per-query cost is
 O(query terms' postings), independent of corpus size. At 10^12 docs a head
 term's posting list is itself large — a production deployment shards the
-serving tier by doc-id chunk range (the same chunk alignment the
-distributed path uses) and fans a query out to shard servers, each running
-this module over its chunk slice; wand_topk IS that plan executed on Spark,
-so the fan-out server is wiring, not new scoring code.
+serving tier by doc-id chunk (the same chunk alignment the distributed path
+uses) and fans a query out to shard servers, each running this module over
+its chunk slice. ShardedTopKServer below IS that wiring: N chunk-striped
+TopKServers + a top-k merge, rank-identical to the single server because
+BM25 stats stay global and scores are per-doc.
 """
 
 from __future__ import annotations
@@ -59,6 +60,11 @@ class TopKServer:
     b: float = 0.75
     analyzer: str = "standard"
     max_cached_terms: int = 4096
+    # (shard_idx, n_shards) chunk striping: this server decodes only blocks
+    # whose chunk % n_shards == shard_idx. Stats (n_docs, avgdl, df) stay
+    # GLOBAL — BM25 scores are identical to the unsharded server, so a
+    # fan-out merge of per-shard top-k is exact, not approximate.
+    shard: tuple[int, int] | None = None
     # decoded-postings budget in BYTES: one head term's arrays can be GBs at
     # 10^9 postings, so a count bound alone cannot cap residency
     max_cache_bytes: int = 512 << 20
@@ -85,8 +91,10 @@ class TopKServer:
     _lock: threading.RLock = field(default_factory=threading.RLock)
 
     @classmethod
-    def open(cls, index_dir: str) -> "TopKServer":
-        srv = cls(index_dir)
+    def open(
+        cls, index_dir: str, shard: tuple[int, int] | None = None
+    ) -> "TopKServer":
+        srv = cls(index_dir, shard=shard)
         srv.refresh()
         return srv
 
@@ -305,6 +313,13 @@ class TopKServer:
             )
             if pdf is None:
                 continue
+            if self.shard is not None:
+                # chunk striping (numpy %, sign of divisor: negative-doc-id
+                # chunks land in a valid shard too)
+                si, ns = self.shard
+                pdf = pdf[pdf["chunk"].to_numpy() % ns == si]
+                if pdf.empty:
+                    continue
             pdf["gen"] = gen
             for t, grp in pdf.groupby("term", sort=False):
                 frames[t].append(grp)
@@ -450,5 +465,58 @@ class TopKServer:
         return [
             (int(d), float(s), i + 1)
             for i, (d, s) in enumerate(zip(doc_ids, scores))
+            if i + 1 > offset
+        ]
+
+
+@dataclass
+class ShardedTopKServer:
+    """Chunk-striped serving fan-out — the 10^12-doc shape of the tier.
+
+    N TopKServers each own the blocks whose chunk % n_shards == shard_idx
+    (disjoint, complete). A query fans out to every shard (threads here;
+    shard RPCs in a real deployment — the per-shard code is identical) and
+    the per-shard top-(offset+k) lists merge by (score desc, doc_id asc).
+
+    Exactness: BM25 stats are GLOBAL per shard (same manifests, same
+    term_stats), scores are per-document, and every doc lives in exactly one
+    shard — so the merged top-k is bit-identical to the unsharded server's.
+    Per-shard work and cache residency shrink by ~n_shards; head-term decode
+    parallelizes across shards instead of serializing in one process."""
+
+    index_dir: str
+    n_shards: int = 4
+    _shards: list[TopKServer] = field(default_factory=list)
+
+    @classmethod
+    def open(cls, index_dir: str, n_shards: int = 4) -> "ShardedTopKServer":
+        srv = cls(index_dir, n_shards)
+        srv._shards = [
+            TopKServer.open(index_dir, shard=(i, n_shards))
+            for i in range(n_shards)
+        ]
+        return srv
+
+    def refresh(self) -> None:
+        for s in self._shards:
+            s.refresh()
+
+    def topk(
+        self, query_text: str, k: int = 13, offset: int = 0
+    ) -> list[tuple[int, float, int]]:
+        from concurrent.futures import ThreadPoolExecutor
+
+        n_keep = offset + k
+        with ThreadPoolExecutor(max_workers=self.n_shards) as pool:
+            parts = list(
+                pool.map(lambda s: s.topk(query_text, k=n_keep), self._shards)
+            )
+        merged = sorted(
+            ((d, s) for part in parts for d, s, _ in part),
+            key=lambda x: (-x[1], x[0]),
+        )[:n_keep]
+        return [
+            (d, s, i + 1)
+            for i, (d, s) in enumerate(merged)
             if i + 1 > offset
         ]

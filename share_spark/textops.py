@@ -169,11 +169,18 @@ def jaccard_verify(
     )
 
 
-def _perm_hash_col(p: int, token_col: str = "token") -> Column:
-    """Permutation p's int64 hash of a token: the first 15 hex digits of
-    md5(token || '#' || p) as an integer — engine-portable (DuckDB:
-    ('0x' || substr(md5(...), 1, 15))::BIGINT) and 8 bytes on the wire
-    instead of a 32-char hex string."""
+def _perm_hash_col(
+    p: int, token_col: str = "token", hash_fn: str = "md5"
+) -> Column:
+    """Permutation p's int64 hash of a token.
+
+    'md5': first 15 hex digits of md5(token || '#' || p) as an integer —
+    engine-portable (DuckDB: ('0x' || substr(md5(...), 1, 15))::BIGINT), the
+    oracle-pinned form. 'xxhash64': one JVM hash op per token (no hex
+    round-trip) — ~same collision behavior, not SQL-oracle-reproducible; the
+    fast path for production-size corpora."""
+    if hash_fn == "xxhash64":
+        return F.xxhash64(F.col(token_col), F.lit(p))
     return F.conv(
         F.substring(
             F.md5(F.concat(F.col(token_col), F.lit(f"#{p}"))), 1, 15
@@ -184,7 +191,8 @@ def _perm_hash_col(p: int, token_col: str = "token") -> Column:
 
 
 def minhash_signatures_wide(
-    docs: DataFrame, n_perm: int = 16, text_col: str = "text"
+    docs: DataFrame, n_perm: int = 16, text_col: str = "text",
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """(doc_id, mh0..mh{n-1}): all permutation minima as COLUMNS of one
     aggregation — no (token x n_perm) row explode.
@@ -197,7 +205,10 @@ def minhash_signatures_wide(
     """
     toks = token_set(docs, text_col)
     return toks.groupBy("doc_id").agg(
-        *[F.min(_perm_hash_col(p)).alias(f"mh{p}") for p in range(n_perm)]
+        *[
+            F.min(_perm_hash_col(p, hash_fn=hash_fn)).alias(f"mh{p}")
+            for p in range(n_perm)
+        ]
     )
 
 
@@ -219,6 +230,7 @@ def minhash_lsh_pairs(
     n_perm: int = 16,
     band_size: int = 4,
     text_col: str = "text",
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """MinHash + LSH candidate pairs: band the signature, bucket-join.
 
@@ -228,7 +240,7 @@ def minhash_lsh_pairs(
     exact Jaccard on the candidate set (jaccard_verify) when a threshold
     guarantee is needed.
     """
-    sig = minhash_signatures_wide(docs, n_perm, text_col)
+    sig = minhash_signatures_wide(docs, n_perm, text_col, hash_fn=hash_fn)
     n_bands = n_perm // band_size
     band_keys = F.array(
         *[
@@ -388,4 +400,56 @@ def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id",
         ws.alias("n_tokens_ws"),
         bpe_ish.alias("n_tokens_bpe"),
+    )
+
+
+def winnow_fingerprints(
+    docs: DataFrame, k: int = 8, w: int = 4, text_col: str = "text"
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003):
+    hash every k-char gram, slide a w-gram window, keep each window's MIN
+    hash — a position-robust fingerprint set with guaranteed detection of
+    matches >= k+w-1 chars. The standard local-document fingerprint for
+    plagiarism/near-dup detection at corpus scale.
+
+    Plan shape (all JVM-side): k-grams via sequence+transform+explode (one
+    map stage, no UDF), hash = md5->int64 (oracle-portable), window MIN via
+    a frame-bounded window function partitioned by doc, then DISTINCT.
+    Partitioning is by doc_id, so the window sort never crosses docs and the
+    distinct's partial aggregation collapses map-side.
+
+    Returns (doc_id, fp) — one row per distinct selected hash.
+    """
+    n_grams = F.length(F.col(text_col)) - F.lit(k - 1)
+    grams = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(n_grams, F.lit(0))),
+                lambda i: F.substring(F.col(text_col), i, F.lit(k)),
+            )
+        ).alias("pos", "gram"),
+    )
+    hashed = grams.select(
+        "doc_id",
+        "pos",
+        F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("gh"),
+    )
+    from pyspark.sql import Window
+
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    return (
+        hashed.withColumn("fp", F.min("gh").over(win))
+        # the last w-1 window starts are partial windows; the classic
+        # algorithm slides only full windows
+        .withColumn("_n", F.count("gh").over(win))
+        .filter(F.col("_n") == w)
+        .select("doc_id", "fp")
+        .distinct()
     )

@@ -105,3 +105,29 @@ def test_serve_cache_lru_byte_bounded(built_index):
     assert _s(srv.topk("danger", k=13)) == baseline
     want = _x(exact_topk(built_index, "the data", k=13))
     assert _s(srv.topk("the data", k=13)) == want
+
+
+def test_sharded_server_bit_identical_to_single(built_index):
+    """The chunk-striped fan-out (ShardedTopKServer) merges per-shard top-k
+    into EXACTLY the single server's result — scores, order, offsets —
+    because stats stay global and every doc lives in one shard."""
+    from share_spark.query.serve import ShardedTopKServer
+
+    srv = TopKServer.open(built_index.index_dir)
+    sh = ShardedTopKServer.open(built_index.index_dir, n_shards=4)
+    for q in ["danger", "the data", "danger -warning",
+              '"nothing valued is here"', "the data science"]:
+        assert _s(sh.topk(q, k=13)) == _s(srv.topk(q, k=13)), q
+    assert _s(sh.topk("the data", k=10, offset=10)) == _s(
+        srv.topk("the data", k=10, offset=10)
+    )
+    # striping is disjoint and complete: per-shard postings partition the
+    # unsharded term's postings
+    srv._read_terms(["danger"])
+    whole = set(srv._term_cache["danger"][0].tolist())
+    parts = []
+    for s in sh._shards:
+        s._read_terms(["danger"])
+        parts.append(set(s._term_cache["danger"][0].tolist()))
+    assert set.union(*parts) == whole
+    assert sum(len(p) for p in parts) == len(whole)

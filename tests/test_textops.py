@@ -163,3 +163,52 @@ def test_token_counts(docs, spark):
     assert got["n_tokens_ws"] == 4
     # hello , world ! it ' s fine
     assert got["n_tokens_bpe"] == 8
+
+
+def test_minhash_xxhash64_variant_semantics(spark):
+    """The fast (xxhash64) permutation hash keeps MinHash-LSH semantics: any
+    two docs with identical token sets share every band key, so all exact
+    duplicate pairs surface — same guarantee the md5 oracle form has."""
+    from share_spark.textops import minhash_lsh_pairs, minhash_signatures_wide
+
+    rows = [(i, f"alpha beta gamma delta doc{i % 5}") for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for fn in ("md5", "xxhash64"):
+        pairs = {
+            (r["doc_a"], r["doc_b"])
+            for r in minhash_lsh_pairs(docs, hash_fn=fn).collect()
+        }
+        want = {(i, i + 5) for i in range(5)}  # identical token sets
+        assert want <= pairs, fn
+    sig = minhash_signatures_wide(docs, hash_fn="xxhash64").collect()
+    by_id = {r["doc_id"]: tuple(r[f"mh{p}"] for p in range(16)) for r in sig}
+    assert by_id[0] == by_id[5] and by_id[0] != by_id[1]
+
+
+def test_winnow_fingerprints_guarantee(spark):
+    """Winnowing guarantee (SWA 2003): any shared substring of length
+    >= k + w - 1 yields at least one shared fingerprint; disjoint texts
+    share nothing; a doc shorter than k has no full window at all."""
+    from share_spark.textops import winnow_fingerprints
+
+    shared = "the quick brown fox jumps over the lazy dog tonight"
+    docs = spark.createDataFrame(
+        [
+            (1, f"AAAA {shared} BBBB"),
+            (2, f"XXXXXXX {shared} YYY"),
+            (3, "completely different material 0123456789 qwerty"),
+            (4, "tiny"),  # < k chars: zero k-grams
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(docs, k=8, w=4).collect()
+    by_doc: dict[int, set] = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2]            # shared substring detected
+    assert not (by_doc[1] & by_doc[3])      # disjoint texts: no collision
+    assert 4 not in by_doc                  # too short for any window
+    # deterministic: same input -> same set
+    again = {(r["doc_id"], r["fp"]) for r in
+             winnow_fingerprints(docs, k=8, w=4).collect()}
+    assert again == {(r["doc_id"], r["fp"]) for r in fps}
