@@ -22,7 +22,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from . import similarity, textops
+from . import graph, similarity, textops
 from .index.build import IndexConfig, IndexReader, build_index
 from .query.wand import wand_topk
 
@@ -399,6 +399,26 @@ def _dedup_minhash(spark, sf_dir):
     return textops.minhash_lsh_pairs(
         _t(spark, sf_dir, "documents"), n_perm=16, band_size=4
     )
+
+
+def _dedup_clusters(spark, sf_dir):
+    """Duplicate CLUSTERS, not just pairs: LSH candidate edges -> distributed
+    connected components (min-label propagation + pointer jumping; see
+    share_spark/graph.py). The oracle reproduces the same fixpoint with a
+    recursive CTE over the identical edge set."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = textops.minhash_lsh_pairs(docs, n_perm=16, band_size=4)
+    return graph.connected_components(pairs)
+
+
+def _dedup_canonical(spark, sf_dir):
+    """Keep-list over ALL docs: one canonical doc per duplicate cluster
+    (longest text wins, doc_id ascending tie-break), singletons keep
+    themselves. The end stage a training-data pipeline actually consumes."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = textops.minhash_lsh_pairs(docs, n_perm=16, band_size=4)
+    clusters = graph.connected_components(pairs)
+    return graph.canonical_docs(docs, clusters, prefer_col="n_chars")
 
 
 def _dedup_simhash(spark, sf_dir):
@@ -1091,6 +1111,8 @@ QUERIES = {
     "fingerprint_winnow": _fingerprint_winnow,
     "dedup_jaccard3": _dedup_jaccard,
     "dedup_minhash_lsh": _dedup_minhash,
+    "dedup_clusters": _dedup_clusters,
+    "dedup_canonical": _dedup_canonical,
     "dedup_simhash": _dedup_simhash,
     "dedup_simhash_pairs": _dedup_simhash_pairs,
     "neardup_embeddings": _neardup_embeddings,
@@ -1131,6 +1153,71 @@ bands AS (
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b
   ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+"""
+
+
+_MINHASH_PAIR_CTES = """
+toks AS (
+  SELECT DISTINCT doc_id, t AS term
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+  WHERE t <> ''
+),
+sigs AS (
+  SELECT doc_id, p.perm,
+         min(('0x' || substr(md5(term || '#' || p.perm), 1, 15))::BIGINT) AS mh
+  FROM toks CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS perm) p
+  GROUP BY doc_id, p.perm
+),
+bands AS (
+  SELECT doc_id, perm // 4 AS band,
+         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY perm) AS band_key
+  FROM sigs GROUP BY doc_id, perm // 4
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+clusters AS (
+  SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u
+)"""
+
+
+def _cc_clusters_oracle() -> str:
+    """Transitive-closure twin of connected_components: min reachable id."""
+    return f"""
+WITH RECURSIVE {_MINHASH_PAIR_CTES}
+SELECT doc_id, cluster_id FROM clusters
+"""
+
+
+def _cc_canonical_oracle() -> str:
+    return f"""
+WITH RECURSIVE {_MINHASH_PAIR_CTES},
+labeled AS (
+  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id, d.n_chars
+  FROM documents d LEFT JOIN clusters c USING (doc_id)
+),
+winners AS (
+  SELECT cluster_id, doc_id AS keep_id,
+         row_number() OVER (
+           PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id ASC
+         ) AS rn
+  FROM labeled
+)
+SELECT l.doc_id, l.cluster_id, (l.doc_id = w.keep_id) AS keep
+FROM labeled l
+JOIN winners w ON l.cluster_id = w.cluster_id AND w.rn = 1
 """
 
 
@@ -1502,6 +1589,8 @@ ORACLES = {
     "fingerprint_winnow": _WINNOW_ORACLE,
     "dedup_jaccard3": _jaccard_lsh_verified_oracle(),
     "dedup_minhash_lsh": _minhash_oracle(),
+    "dedup_clusters": _cc_clusters_oracle(),
+    "dedup_canonical": _cc_canonical_oracle(),
     "dedup_simhash": _simhash_oracle(),
     "dedup_simhash_pairs": f"""
         WITH sh AS ({_simhash_oracle()}),
