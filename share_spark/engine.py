@@ -63,6 +63,11 @@ class SearchEngine:
     _server: "TopKServer | ShardedTopKServer | None" = field(
         default=None, repr=False
     )
+    # path_key -> 'date' | 'iri', computed from doc_values on first
+    # valuesearch (one job over the distinct-path set — property-path
+    # vocabulary, not corpus-sized) and reused for every query after;
+    # removes compile_valuesearch's per-query limit(1) probe
+    _path_types: "dict[str, str] | None" = field(default=None, repr=False)
 
     # -- lifecycle --------------------------------------------------------
 
@@ -99,6 +104,7 @@ class SearchEngine:
         self.reader = IndexReader.open(self.spark, self.index_dir)
         if self._server is not None:
             self._server.refresh()
+        self._path_types = None  # new docs may introduce new property paths
         return manifest
 
     # -- query surface ------------------------------------------------------
@@ -129,8 +135,30 @@ class SearchEngine:
             raise ValueError("valuesearch requires a doc_values table")
         params = parse_valuesearch(querystring)
         return compile_valuesearch(
-            params, self.reader, self.doc_values, value_meta=self.value_meta
+            params,
+            self.reader,
+            self.doc_values,
+            value_type=self._value_type_for(params.value_path),
+            value_meta=self.value_meta,
         )
+
+    def _value_type_for(self, path_key: str) -> str:
+        """Path-type catalog lookup (date-histogram vs iri-terms dispatch,
+        trovesearch_denorm.py:306-329). An unknown path has no value rows,
+        so 'iri' reproduces the probe's empty-result default exactly."""
+        if self._path_types is None:
+            from pyspark.sql import functions as F
+
+            rows = (
+                self.doc_values.groupBy("path_key")
+                .agg(F.max(F.col("date_value").isNotNull()).alias("has_date"))
+                .collect()
+            )
+            self._path_types = {
+                r["path_key"]: "date" if r["has_date"] else "iri"
+                for r in rows
+            }
+        return self._path_types.get(path_key, "iri")
 
     def oaipmh(self, params: dict[str, list[str]]) -> str:
         if self.oai_cards is None:
@@ -153,6 +181,8 @@ class SearchEngine:
         if mediatype == "text/tab-separated-values":
             return to_tsv(df, **kw)
         if mediatype == "application/vnd.api+json":
+            # include=path,... resolves against doc_values (compound docs)
+            kw.setdefault("related", self.doc_values)
             return to_jsonapi(
                 df, kw.pop("resource_type", "index-card"),
                 kw.pop("id_col", "doc_id"),

@@ -84,6 +84,7 @@ def to_jsonapi(
     total_relation: str = "eq",
     limit: int = 101,
     render_params=None,
+    related: DataFrame | None = None,
 ) -> dict:
     """JSON:API-shaped document: {data: [{type, id, attributes}], meta}.
 
@@ -94,9 +95,46 @@ def to_jsonapi(
 
     `render_params` (query.params.TroveRenderParams) applies the
     `fields[TYPE]=a,b` restriction (trove/util/trove_params.py:44-117): only
-    the requested attribute columns are emitted for this resource type."""
+    the requested attribute columns are emitted for this resource type.
+
+    `include=path,path` (JSON:API compound documents; the reference resolves
+    includes during gathering, trove/util/trove_params.py:44-117 +
+    trovesearch_gathering.py:381-474) needs `related`: a doc_values-shaped
+    table (doc_id, path_key, iri_value). Each data row gains a
+    `relationships[path]` linkage and the distinct related values are
+    emitted once in `included`. The related scan is filtered to the page's
+    <=`limit` ids and the requested paths — both predicates push down to
+    the parquet scan, so the page cost is independent of corpus size."""
     keep = render_params.fields_for(resource_type) if render_params else None
     rows = df.limit(limit).collect()
+    inc_paths = tuple(
+        getattr(render_params, "included_relations", ()) or ()
+    )
+    rel_by_doc: dict[object, dict[str, list[str]]] = {}
+    included: list[dict] = []
+    if inc_paths and related is not None and rows:
+        page_ids = [r[id_col] for r in rows]
+        rel_rows = (
+            related.filter(F.col("path_key").isin(list(inc_paths)))
+            .filter(F.col("doc_id").isin(page_ids))
+            .filter(F.col("iri_value").isNotNull())
+            .select("doc_id", "path_key", "iri_value")
+            .distinct()
+            .collect()
+        )
+        seen: set[tuple[str, str]] = set()
+        for rr in sorted(
+            rel_rows, key=lambda r: (str(r["doc_id"]), r["path_key"], r["iri_value"])
+        ):
+            rel_by_doc.setdefault(rr["doc_id"], {}).setdefault(
+                rr["path_key"], []
+            ).append(rr["iri_value"])
+            key = (rr["path_key"], rr["iri_value"])
+            if key not in seen:
+                seen.add(key)
+                included.append(
+                    {"type": rr["path_key"], "id": rr["iri_value"]}
+                )
     data = []
     for r in rows:
         attrs = {
@@ -104,14 +142,21 @@ def to_jsonapi(
             for c in df.columns
             if c != id_col and (keep is None or c in keep)
         }
-        data.append(
-            {
-                "type": resource_type,
-                "id": str(r[id_col]),
-                "attributes": json.loads(json.dumps(attrs, default=str)),
+        entry = {
+            "type": resource_type,
+            "id": str(r[id_col]),
+            "attributes": json.loads(json.dumps(attrs, default=str)),
+        }
+        rels = rel_by_doc.get(r[id_col])
+        if rels:
+            entry["relationships"] = {
+                path: {"data": [{"type": path, "id": v} for v in vals]}
+                for path, vals in sorted(rels.items())
             }
-        )
+        data.append(entry)
     doc: dict = {"data": data}
+    if included:
+        doc["included"] = included
     if total is not None:
         doc["meta"] = {"total": total, "totalRelation": total_relation}
     return doc

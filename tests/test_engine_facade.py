@@ -47,6 +47,42 @@ def test_facade_cardsearch_and_valuesearch(engine):
     assert vs and vs[0]["match_count"] >= vs[-1]["match_count"]
 
 
+def test_facade_path_type_catalog_replaces_probe(engine):
+    engine._path_types = None
+    engine.valuesearch(
+        'valueSearchPropertyPath=["dcterms:subject"]&page[size]=3'
+    ).collect()
+    # one catalog job populated every path's type; later queries reuse it
+    assert engine._path_types['["dcterms:subject"]'] == "iri"
+    assert engine._path_types['["dcterms:created"]'] == "date"
+    hist = engine.valuesearch(
+        'valueSearchPropertyPath=["dcterms:created"]&page[size]=5'
+    ).collect()
+    assert hist and "year" in hist[0].asDict()
+    # an unknown path falls back to the probe's empty-iri behavior
+    assert engine._value_type_for('["no:such"]') == "iri"
+
+
+def test_facade_jsonapi_include_compound_document(engine):
+    from share_spark.query.params import parse_render_params
+
+    page = engine.cardsearch("cardSearchText=danger&page[size]=3")
+    rp = parse_render_params("include=%5B%22dcterms%3Asubject%22%5D")
+    doc = engine.render(page, "application/vnd.api+json", render_params=rp)
+    assert doc["included"], "include= must emit compound resources"
+    assert all(i["type"] == '["dcterms:subject"]' for i in doc["included"])
+    rels = doc["data"][0]["relationships"]['["dcterms:subject"]']["data"]
+    assert rels and all("subjects.example" in r["id"] for r in rels)
+    # every relationship id is present in included exactly once
+    inc_ids = [i["id"] for i in doc["included"]]
+    assert len(inc_ids) == len(set(inc_ids))
+    assert {r["id"] for r in rels} <= set(inc_ids)
+    # without include= the document shape is unchanged
+    plain = engine.render(page, "application/vnd.api+json")
+    assert "included" not in plain
+    assert "relationships" not in plain["data"][0]
+
+
 def test_facade_oaipmh_and_render(engine):
     xml = engine.oaipmh({"verb": ["Identify"]})
     assert "<Identify>" in xml
