@@ -83,7 +83,6 @@ DOCS_SCHEMA = T.StructType(
         # makes cardSearchText[path] an index operation (query/fields.py).
         T.StructField("path_key", T.StringType()),
         T.StructField("text_norm", T.StringType()),
-        T.StructField("doc_len", T.IntegerType()),
     ]
 )
 
@@ -174,11 +173,16 @@ def build_docs(
     pages: DataFrame,
     analyzer: str,
 ) -> DataFrame:
-    """pages -> docs(doc_id, url, lang, text_norm, doc_len).
+    """pages -> docs(doc_id, url, lang, text_norm).
 
     Extraction is the frozen byte-identical extractor (extract.py); doc ids
     are taken from a `doc_id` column when present, else xxhash64(url)
     (deterministic; dense assignment is the caller's option at small scale).
+
+    Deliberately does NOT tokenize: doc lengths fall out of build_termdoc's
+    own token stream and avgdl out of posting-block metadata, so the corpus
+    is analyzed exactly once per build (tokenize+stem is the single most
+    expensive CPU pass — running it here too doubled it).
     """
     cols = set(pages.columns)
     has_html = "html" in cols
@@ -189,8 +193,6 @@ def build_docs(
     has_path = "path_key" in cols
 
     def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..analysis import tokenize_batch_flat
-
         for pdf in batches:
             html = pdf["html"] if has_html else pd.Series([None] * len(pdf))
             text = pdf["text"] if has_text else pd.Series([None] * len(pdf))
@@ -198,10 +200,6 @@ def build_docs(
                 extract_text(h, t)
                 for h, t in zip(html.tolist(), text.tolist())
             ]
-            parents, _toks = tokenize_batch_flat(
-                pd.Series(norm, dtype="object"), analyzer
-            )
-            dlen = np.bincount(parents, minlength=len(norm)).astype("int32")
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"] if has_docid else pd.NA,
@@ -209,7 +207,6 @@ def build_docs(
                     "lang": pdf["lang"] if has_lang else "",
                     "path_key": pdf["path_key"] if has_path else "",
                     "text_norm": norm,
-                    "doc_len": dlen,
                 }
             )
 
@@ -239,6 +236,10 @@ def build_termdoc(docs: DataFrame, analyzer: str) -> DataFrame:
             n = len(toks)
             if n == 0:
                 continue
+            # per-row token count IS the BM25 dl — same deterministic
+            # token stream build_docs used to pre-compute, minus the
+            # second corpus-wide tokenize pass
+            dlen = np.bincount(parents, minlength=len(pdf)).astype("int32")
             if "path_key" in pdf.columns:
                 pk = pdf["path_key"].fillna("").to_numpy()
                 if (pk != "").any():
@@ -270,12 +271,12 @@ def build_termdoc(docs: DataFrame, analyzer: str) -> DataFrame:
                     "term": t_s[gstarts],
                     "doc_id": pdf["doc_id"].to_numpy()[gp],
                     "tf": tf,
-                    "dl": pdf["doc_len"].to_numpy()[gp].astype("int32"),
+                    "dl": dlen[gp],
                     "pos_bin": pos_bins,
                 }
             )
 
-    sel = ["doc_id", "text_norm", "doc_len"]
+    sel = ["doc_id", "text_norm"]
     if "path_key" in docs.columns:
         sel.append("path_key")
     return docs.select(*sel).mapInPandas(_count_batches, schema=TERMDOC_SCHEMA)
@@ -498,10 +499,9 @@ def build_index(
     _lap("docs")
     docs = spark.read.parquet(docs_path)
 
-    row = docs.agg(
-        F.count("*").alias("n_docs"), F.avg("doc_len").alias("avgdl")
-    ).collect()[0]
-    n_docs, avgdl = int(row["n_docs"]), float(row["avgdl"] or 0.0)
+    # parquet metadata count only — avgdl is derived below from posting
+    # block metadata (sum_tf), so no job ever tokenizes just for stats
+    n_docs = docs.count()
 
     # stage 2: posting blocks, pipelined docs -> tokenize -> shuffle -> sort
     # -> encode with NO intermediate materialization (per-posting rows exist
@@ -595,6 +595,7 @@ def build_index(
                 + F.octet_length("dls_bin")
             ).alias("encoded_bytes"),
             F.max("last_doc").alias("max_doc"),
+            F.sum("sum_tf").alias("sum_tf"),
         )
         .collect()
     )
@@ -608,6 +609,10 @@ def build_index(
     }
     max_doc = max((int(r["max_doc"]) for r in part_rows), default=0)
     n_chunks = max_doc // cfg.chunk_docs + 1
+    # avgdl == avg over doc rows of token count: every token contributes
+    # exactly one tf unit (field-prefixing renames, never splits, tokens)
+    total_tokens = sum(int(r["sum_tf"]) for r in part_rows)
+    avgdl = (total_tokens / n_docs) if n_docs else 0.0
     n_terms = spark.read.parquet(stats_path).count()
     gen_manifest = {
         "generation": generation,
