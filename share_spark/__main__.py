@@ -1,0 +1,147 @@
+"""spark-submit job surface: `python -m share_spark <cmd>`.
+
+The north-rule deployment shape is a batch driver shipped with
+`spark-submit --py-files share_spark.zip`; this module is that driver.
+Under spark-submit the session already exists (getOrCreate attaches to it
+and master/conf flags win); standalone it falls back to the local-mode
+factory in session.py. Every command prints ONE JSON line on stdout so
+orchestration (Airflow/cron/shell) can parse results without scraping logs.
+
+  python -m share_spark build --pages P.parquet --index-dir IDX [--resume]
+  python -m share_spark query --index-dir IDX --query "data science" -k 10
+  python -m share_spark compact --index-dir IDX
+
+Analog of the reference's management commands + celery ingest tasks
+(share/bin/, share/tasks/__init__.py) collapsed onto one Spark driver.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _get_spark(app: str):
+    from .session import get_spark
+
+    return get_spark(app)
+
+
+def _cmd_build(args: argparse.Namespace) -> dict:
+    from .index.build import IndexConfig, build_index
+
+    spark = _get_spark("share_spark_build")
+    pages = spark.read.parquet(args.pages)
+    cfg = IndexConfig(
+        analyzer=args.analyzer,
+        block_size=args.block_size,
+        chunk_docs=args.chunk_docs,
+        n_partitions=args.partitions,
+        serve_layout=not args.no_serve_layout,
+    )
+    t0 = time.time()
+    manifest = build_index(
+        spark,
+        pages,
+        args.index_dir,
+        cfg,
+        resume=args.resume,
+        generation=args.generation,
+    )
+    wall = time.time() - t0
+    return {
+        "cmd": "build",
+        "index_dir": args.index_dir,
+        "generation": manifest["generation"],
+        "n_docs": manifest["n_docs"],
+        "n_terms": manifest["n_terms"],
+        "build_s": round(wall, 2),
+        "docs_per_sec": round(manifest["n_docs"] / wall, 1) if wall else None,
+        "stage_seconds": manifest["stage_seconds"],
+    }
+
+
+def _cmd_ingest(args: argparse.Namespace) -> dict:
+    from .streaming.incremental import apply_incremental
+
+    spark = _get_spark("share_spark_ingest")
+    changed = spark.read.parquet(args.pages)
+    manifest = apply_incremental(spark, args.index_dir, changed)
+    return {
+        "cmd": "ingest",
+        "index_dir": args.index_dir,
+        "generation": manifest["generation"],
+        "n_docs": manifest["n_docs"],
+    }
+
+
+def _cmd_query(args: argparse.Namespace) -> dict:
+    from .index.build import IndexReader
+    from .query.wand import wand_topk
+
+    spark = _get_spark("share_spark_query")
+    idx = IndexReader.open(spark, args.index_dir)
+    t0 = time.time()
+    rows = wand_topk(idx, args.query, k=args.k, offset=args.offset).collect()
+    return {
+        "cmd": "query",
+        "query": args.query,
+        "latency_s": round(time.time() - t0, 3),
+        "hits": [
+            {"rank": r["rank"], "doc_id": r["doc_id"], "score": r["score"]}
+            for r in rows
+        ],
+    }
+
+
+def _cmd_compact(args: argparse.Namespace) -> dict:
+    from .streaming.incremental import compact
+
+    spark = _get_spark("share_spark_compact")
+    result = compact(spark, args.index_dir)
+    return {"cmd": "compact", "index_dir": args.index_dir, **(result or {})}
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="python -m share_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="full backfill index build")
+    b.add_argument("--pages", required=True, help="input parquet path")
+    b.add_argument("--index-dir", required=True)
+    b.add_argument("--analyzer", default="standard")
+    b.add_argument("--block-size", type=int, default=128)
+    b.add_argument("--chunk-docs", type=int, default=8192)
+    b.add_argument("--partitions", type=int, default=None)
+    b.add_argument("--generation", type=int, default=0)
+    b.add_argument("--resume", action="store_true",
+                   help="skip stages with a done-marker (crash recovery)")
+    b.add_argument("--no-serve-layout", action="store_true")
+    b.set_defaults(fn=_cmd_build)
+
+    g = sub.add_parser("ingest", help="incremental batch -> new generation")
+    g.add_argument("--pages", required=True)
+    g.add_argument("--index-dir", required=True)
+    g.set_defaults(fn=_cmd_ingest)
+
+    q = sub.add_parser("query", help="BM25 top-k via block-max WAND")
+    q.add_argument("--index-dir", required=True)
+    q.add_argument("--query", required=True)
+    q.add_argument("-k", type=int, default=13)
+    q.add_argument("--offset", type=int, default=0)
+    q.set_defaults(fn=_cmd_query)
+
+    c = sub.add_parser("compact", help="fold tombstones, drop dead postings")
+    c.add_argument("--index-dir", required=True)
+    c.set_defaults(fn=_cmd_compact)
+
+    args = p.parse_args(argv)
+    out = args.fn(args)
+    print(json.dumps(out, sort_keys=True))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,56 @@
+"""The `python -m share_spark` driver-job surface (spark-submit analog)."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO = str(Path(__file__).resolve().parent.parent)
+
+
+def _run(*argv: str) -> dict:
+    env = dict(os.environ, PYTHONPATH=REPO, SPARK_GRAFT_CPUS="4")
+    out = subprocess.run(
+        [sys.executable, "-m", "share_spark", *argv],
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    # last stdout line is the JSON result (Spark may log above it)
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+@pytest.fixture(scope="module")
+def pages_parquet(spark, pages_pdf, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("cli") / "pages.parquet")
+    spark.createDataFrame(pages_pdf).write.mode("overwrite").parquet(path)
+    return path
+
+
+def test_cli_build_query_resume(pages_parquet, tmp_path_factory):
+    idx = str(tmp_path_factory.mktemp("cli_idx") / "idx")
+    built = _run(
+        "build", "--pages", pages_parquet, "--index-dir", idx,
+        "--block-size", "32", "--chunk-docs", "64",
+    )
+    assert built["cmd"] == "build" and built["n_docs"] == 300
+    assert built["docs_per_sec"] > 0 and "postings" in built["stage_seconds"]
+
+    hits = _run("query", "--index-dir", idx, "--query", "danger", "-k", "5")
+    assert len(hits["hits"]) == 5
+    assert all(h["doc_id"] % 17 in (5, 7) for h in hits["hits"])
+    assert hits["hits"][0]["rank"] == 1
+
+    # crash-resume: nuke a done-marker, rebuild with --resume, same answer
+    os.remove(os.path.join(idx, "gen0", "_DONE_postings"))
+    resumed = _run(
+        "build", "--pages", pages_parquet, "--index-dir", idx,
+        "--block-size", "32", "--chunk-docs", "64", "--resume",
+    )
+    assert resumed["n_docs"] == 300
+    hits2 = _run("query", "--index-dir", idx, "--query", "danger", "-k", "5")
+    assert hits2["hits"] == hits["hits"]
