@@ -637,6 +637,27 @@ def build_index(
     return gen_manifest
 
 
+def config_of(index_dir: str) -> IndexConfig:
+    """Reconstruct the semantic IndexConfig an index was built with, from
+    its newest generation manifest. Incremental ingest and compaction MUST
+    build with the same chunk/block geometry as the existing generations:
+    tombstones and WAND pruning are chunk-keyed, so a generation with a
+    different chunk_docs silently fails to kill replaced docs."""
+    manifest_path = os.path.join(index_dir, "manifest.json")
+    with open(manifest_path) as f:
+        gens = json.load(f)["generations"]
+    gdir = os.path.join(index_dir, f"gen{max(gens)}")
+    with open(os.path.join(gdir, "manifest.json")) as f:
+        gm = json.load(f)
+    return IndexConfig(
+        analyzer=gm["analyzer"],
+        block_size=gm["block_size"],
+        chunk_docs=gm["chunk_docs"],
+        k1=gm["k1"],
+        b=gm["b"],
+    )
+
+
 def register_generation(index_dir: str, generation: int, cfg: IndexConfig) -> None:
     """Atomically add a built generation to the top-level manifest (the
     commit point — tmp write + os.replace, so readers see either the old or

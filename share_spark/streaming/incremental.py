@@ -32,7 +32,13 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..index.build import IndexConfig, IndexReader, build_index, register_generation
+from ..index.build import (
+    IndexConfig,
+    IndexReader,
+    build_index,
+    config_of,
+    register_generation,
+)
 
 
 def _manifest(index_dir: str) -> dict:
@@ -57,9 +63,23 @@ def apply_incremental(
     `before_gen = generation`, which no reader resolves until (3) registers
     it, and before_gen semantics kill docs only in generations < it, so the
     old copies stay live); only (3) makes the swap, and it is a single
-    os.replace."""
-    cfg = cfg or IndexConfig()
+    os.replace.
+
+    `cfg` defaults to the INDEX'S OWN registered config (config_of):
+    tombstone application and WAND pruning are chunk-keyed, so a generation
+    with different chunk geometry silently fails to kill replaced docs.
+    Passing an explicit cfg with a different strategy checksum raises —
+    reindex into a fresh directory to change strategy (the reference's
+    backfill-to-new-index + alias swap)."""
     man = _manifest(index_dir)
+    if cfg is None:
+        cfg = config_of(index_dir)
+    elif cfg.checksum() != man.get("strategy_check"):
+        raise ValueError(
+            "incremental cfg does not match the index's registered strategy "
+            f"({cfg.checksum()} != {man.get('strategy_check')}); "
+            "build a new index directory to change strategy"
+        )
     older_gens = list(man["generations"])
     if generation is None:
         generation = max(older_gens) + 1
@@ -133,8 +153,12 @@ def compact(
 
     The analog of both Lucene segment merging and the reference's
     backfill-to-new-index + alias swap (elastic8.py:222-239): the new index
-    is built in a sibling directory and atomically swapped in."""
-    cfg = cfg or IndexConfig()
+    is built in a sibling directory and atomically swapped in.
+
+    `cfg` defaults to the index's own registered config — compaction is a
+    rewrite, so a different strategy here IS allowed when passed explicitly
+    (this is how a strategy migration reindexes in place)."""
+    cfg = cfg or config_of(index_dir)
     reader = IndexReader.open(spark, index_dir)
     docs = reader.live_docs()
     # tombstones normally leave exactly one live row per doc; belt and

@@ -31,6 +31,44 @@ def pages_parquet(spark, pages_pdf, tmp_path_factory):
     return path
 
 
+def test_cli_ingest_and_compact_lifecycle(spark, pages_pdf, tmp_path_factory):
+    """Full lifecycle through the job surface: backfill -> incremental
+    ingest (changed doc wins, tombstone kills the old copy) -> compact
+    (generations fold to one) -> identical answer."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    base = str(tmp_path_factory.mktemp("cli_lc"))
+    pages_path = os.path.join(base, "pages.parquet")
+    spark.createDataFrame(pages_pdf).write.parquet(pages_path)
+    idx = os.path.join(base, "idx")
+    _run("build", "--pages", pages_path, "--index-dir", idx,
+         "--block-size", "32", "--chunk-docs", "64")
+
+    # replace one doc so a previously-hit doc_id stops matching 'danger'
+    hits = _run("query", "--index-dir", idx, "--query", "danger", "-k", "3")
+    victim = hits["hits"][0]["doc_id"]
+    row = pages_pdf[pages_pdf.doc_id == victim].copy()
+    row["text"] = "totally replaced antelope content"
+    if "html" in row.columns:
+        row["html"] = None  # extraction prefers html when present
+    changed_path = os.path.join(base, "changed.parquet")
+    spark.createDataFrame(row).write.parquet(changed_path)
+    ingested = _run("ingest", "--pages", changed_path, "--index-dir", idx)
+    assert ingested["generation"] == 1 and ingested["n_docs"] == 1
+
+    hits2 = _run("query", "--index-dir", idx, "--query", "danger", "-k", "3")
+    assert victim not in [h["doc_id"] for h in hits2["hits"]]
+    ant = _run("query", "--index-dir", idx, "--query", "antelope", "-k", "3")
+    assert [h["doc_id"] for h in ant["hits"]] == [victim]
+
+    _run("compact", "--index-dir", idx)
+    hits3 = _run("query", "--index-dir", idx, "--query", "danger", "-k", "3")
+    assert [h["doc_id"] for h in hits3["hits"]] == [
+        h["doc_id"] for h in hits2["hits"]
+    ]
+
+
 def test_cli_build_query_resume(pages_parquet, tmp_path_factory):
     idx = str(tmp_path_factory.mktemp("cli_idx") / "idx")
     built = _run(
