@@ -58,6 +58,43 @@ def test_canonical_prefers_quality_then_min_id(spark):
     assert by_id[9].keep and by_id[9].cluster_id == 9
 
 
+def test_random_graphs_match_union_find(spark):
+    """Seeded random graphs (mixed components, chains, cliques, isolates-
+    in-edges) vs a plain union-find reference."""
+    import numpy as np
+
+    def uf_labels(edges):
+        parent: dict[int, int] = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {v: find(v) for v in parent}
+
+    rng = np.random.default_rng(7)
+    for trial in range(4):
+        n = int(rng.integers(20, 120))
+        m = int(rng.integers(n // 2, n * 2))
+        edges = [
+            (int(rng.integers(0, n)), int(rng.integers(0, n)))
+            for _ in range(m)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            continue
+        got = _cc(spark, edges)
+        want = uf_labels(edges)
+        assert got == want, f"trial {trial}: mismatch"
+
+
 def test_canonical_without_prefer_uses_min_id(spark):
     docs = spark.createDataFrame([(7,), (8,), (9,)], "doc_id long")
     clusters = connected_components(
