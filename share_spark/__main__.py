@@ -96,6 +96,15 @@ def _cmd_query(args: argparse.Namespace) -> dict:
     }
 
 
+def _cmd_expel(args: argparse.Namespace) -> dict:
+    from .streaming.incremental import expel
+
+    spark = _get_spark("share_spark_expel")
+    ids = [int(x) for x in args.doc_ids.split(",") if x]
+    expel(spark, args.index_dir, ids)
+    return {"cmd": "expel", "index_dir": args.index_dir, "n_expelled": len(ids)}
+
+
 def _cmd_compact(args: argparse.Namespace) -> dict:
     from .streaming.incremental import compact
 
@@ -132,6 +141,12 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("-k", type=int, default=13)
     q.add_argument("--offset", type=int, default=0)
     q.set_defaults(fn=_cmd_query)
+
+    e = sub.add_parser("expel", help="soft-delete docs in all generations")
+    e.add_argument("--index-dir", required=True)
+    e.add_argument("--doc-ids", required=True,
+                   help="comma-separated doc ids to tombstone")
+    e.set_defaults(fn=_cmd_expel)
 
     c = sub.add_parser("compact", help="fold tombstones, drop dead postings")
     c.add_argument("--index-dir", required=True)

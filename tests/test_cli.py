@@ -68,6 +68,13 @@ def test_cli_ingest_and_compact_lifecycle(spark, pages_pdf, tmp_path_factory):
         h["doc_id"] for h in hits2["hits"]
     ]
 
+    # soft-delete the current top hit in place (expel = all-gen tombstone)
+    top = hits3["hits"][0]["doc_id"]
+    ex = _run("expel", "--index-dir", idx, "--doc-ids", str(top))
+    assert ex["n_expelled"] == 1
+    hits4 = _run("query", "--index-dir", idx, "--query", "danger", "-k", "3")
+    assert top not in [h["doc_id"] for h in hits4["hits"]]
+
 
 def test_cli_build_query_resume(pages_parquet, tmp_path_factory):
     idx = str(tmp_path_factory.mktemp("cli_idx") / "idx")
