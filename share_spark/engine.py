@@ -66,7 +66,12 @@ class SearchEngine:
     # path_key -> 'date' | 'iri', computed from doc_values on first
     # valuesearch (one job over the distinct-path set — property-path
     # vocabulary, not corpus-sized) and reused for every query after;
-    # removes compile_valuesearch's per-query limit(1) probe
+    # removes compile_valuesearch's per-query limit(1) probe.
+    # INVALIDATION CONTRACT: the cache is keyed to the doc_values object —
+    # ingest() resets it; anyone reassigning engine.doc_values directly must
+    # set engine._path_types = None or valuesearch dispatches date-vs-iri on
+    # stale types. (For a mixed-typed path the catalog is any-date-wins —
+    # deterministic, unlike the old arbitrary-row limit(1) probe.)
     _path_types: "dict[str, str] | None" = field(default=None, repr=False)
 
     # -- lifecycle --------------------------------------------------------
@@ -140,6 +145,7 @@ class SearchEngine:
             self.doc_values,
             value_type=self._value_type_for(params.value_path),
             value_meta=self.value_meta,
+            field_index=self.field_index,
         )
 
     def _value_type_for(self, path_key: str) -> str:

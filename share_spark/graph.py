@@ -102,6 +102,14 @@ def connected_components(
         labels = jumped
         if changed == 0:
             break
+    else:
+        # never return partially-converged (wrong) labels: with pointer
+        # jumping convergence is O(log diameter) rounds, so hitting this
+        # means a pathological graph or a too-small max_iter — fail loudly
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iter} "
+            f"rounds ({changed} labels still changing); raise max_iter"
+        )
 
     return labels.select(
         F.col("u").alias("doc_id"), F.col("lab").alias("cluster_id")

@@ -626,6 +626,12 @@ def build_index(
         "avgdl": avgdl,
         "n_terms": int(n_terms),
         "n_chunks": int(n_chunks),
+        # non-checksum build knobs, persisted so config_of round-trips the
+        # FULL config: ingest/compact of a --no-serve-layout index must not
+        # silently build serve-layout generations, and compaction keeps the
+        # original partitioning choice
+        "serve_layout": cfg.serve_layout,
+        "n_partitions": cfg.n_partitions,
         "stage_seconds": stage_s,
         "partitions": part_metrics,
     }
@@ -655,6 +661,10 @@ def config_of(index_dir: str) -> IndexConfig:
         chunk_docs=gm["chunk_docs"],
         k1=gm["k1"],
         b=gm["b"],
+        # .get: manifests written before these were persisted fall back to
+        # the IndexConfig defaults
+        n_partitions=gm.get("n_partitions"),
+        serve_layout=gm.get("serve_layout", True),
     )
 
 

@@ -170,3 +170,42 @@ class FieldIndex:
             .filter(F.col("rank") > offset)
             .select("doc_id", "score", "rank")
         )
+
+    def scoped_match_docs(
+        self,
+        query_text: str,
+        paths: list[str],
+        filter_docs: DataFrame | None = None,
+    ) -> DataFrame:
+        """Unlimited boolean match set for path-scoped text: every doc where
+        `query_text` matches inside one of `paths` (OR across paths, the
+        multi-path simple_query_string semantics). Backs the valuesearch
+        cardsearch-context — which must be unbounded, never top-k
+        (trovesearch_denorm.py:838-859)."""
+        from .wand import match_docs
+
+        pq = parse_query(query_text, self.reader.analyzer)
+        if not pq.terms:
+            raise ValueError("query has no positive terms")
+        fmap = self.fieldmap.filter(F.col("path_key").isin(list(paths)))
+        frow_filter = None
+        if filter_docs is not None:
+            frow_filter = (
+                fmap.join(filter_docs.select("doc_id"), "doc_id", "left_semi")
+                .select(F.col("frow_id").alias("doc_id"))
+            )
+        parts = [
+            match_docs(
+                self.reader, query_text, filter_docs=frow_filter,
+                pq=_prefixed(pq, path),
+            ).select(F.col("doc_id").alias("frow_id"))
+            for path in paths
+        ]
+        allhits = parts[0]
+        for p in parts[1:]:
+            allhits = allhits.unionByName(p)
+        return (
+            allhits.join(F.broadcast(fmap.select("frow_id", "doc_id")), "frow_id")
+            .select("doc_id")
+            .distinct()
+        )

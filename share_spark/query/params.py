@@ -375,6 +375,7 @@ def compile_valuesearch(
     doc_values: DataFrame,
     value_type: str | None = None,
     value_meta: DataFrame | None = None,
+    field_index: "FieldIndex | None" = None,
 ) -> DataFrame:
     """Dispatch on date-vs-iri property (trovesearch_denorm.py:306-329).
 
@@ -385,20 +386,45 @@ def compile_valuesearch(
     `value_meta` is the (doc_id, value_iri)-keyed table from
     rdf.extract_value_values; valueSearchText/valueSearchFilter compile
     against it. Passing those params without it raises — never silently
-    dropped (the engine-wide rule)."""
-    from .filters import apply_filters
+    dropped (the engine-wide rule).
 
+    The cardsearch context is UNLIMITED — the reference ANDs the card-scoped
+    query into the value query as an unbounded bool filter
+    (trovesearch_denorm.py:838-859), so value counts see every matching
+    card: filters compile to the full apply_filters doc-id set (no paging),
+    text compiles to the boolean match-set plan (wand.match_docs — a
+    semi-join, not top-k scoring). With neither, counts still exclude
+    tombstoned docs (deleted cards vanish from all aggs in the reference)
+    via a live-docs semi-join — skipped when the index has no tombstones,
+    where it would be a no-op join against the full doc set."""
+    from .filters import apply_filters
+    from .wand import match_docs
+
+    cs = params.cardsearch
     card_docs = None
-    if params.cardsearch.filters or params.cardsearch.texts:
-        card_docs = compile_cardsearch(
-            CardsearchParams(
-                texts=params.cardsearch.texts,
-                filters=params.cardsearch.filters,
-                page_size=10_000,
-            ),
-            index,
-            doc_values,
+    filter_ids = None
+    if cs.filters:
+        filter_ids = apply_filters(
+            index.live_docs().select("doc_id"), doc_values, list(cs.filters)
         )
+    if cs.texts:
+        qtext = " ".join(cs.texts)
+        if cs.text_paths:
+            if field_index is None:
+                raise ValueError(
+                    "cardSearchText[path] in a valuesearch context requires "
+                    "a FieldIndex — refusing to silently widen the scope"
+                )
+            card_docs = field_index.scoped_match_docs(
+                qtext, list(cs.text_paths), filter_docs=filter_ids
+            )
+        else:
+            card_docs = match_docs(index, qtext, filter_docs=filter_ids)
+    else:
+        card_docs = filter_ids
+    if card_docs is None and index.tombstones() is not None:
+        # no card context, but dead docs must still vanish from the aggs
+        card_docs = index.live_docs().select("doc_id")
     if value_type is None:
         probe = (
             doc_values.filter(F.col("path_key") == params.value_path)

@@ -126,26 +126,21 @@ def _phrase_mask(cand, lists, phrase, P):
     return mask
 
 
-def score_term_lists(
+def candidate_ids(
     pq: ParsedQuery,
     lists: dict,
-    idf_of: dict,
-    k1: float,
-    b: float,
-    avgdl: float,
-    n_keep: int,
     allow_ids: np.ndarray | None = None,
-) -> tuple[np.ndarray, np.ndarray]:
-    """The document-at-a-time scoring core, shared VERBATIM by the
-    distributed chunk kernel and the serving tier (query/serve.py) — one
-    scorer, two transports, so rank identity holds by construction.
+) -> np.ndarray:
+    """The boolean half of document-at-a-time evaluation: the sorted doc ids
+    satisfying the query's AND-of-terms + negations + phrase constraints
+    (before any scoring) — shared by the scorer and the match-set kernel so
+    match semantics cannot drift between the two.
 
-    lists: term -> (ids sorted unique, tfs, dls or None, pos_flat or None);
-    returns (doc_ids, scores) of the local top-n_keep (score desc, id asc).
+    lists: term -> (ids sorted unique, tfs, dls or None, pos_flat or None).
     """
     pos_sorted = tuple(sorted(pq.terms))
     neg_set = frozenset(pq.neg_terms)
-    empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
+    empty = np.empty(0, dtype=np.int64)
 
     cand = None
     for t in sorted(pos_sorted, key=lambda t: lists[t][0].size if t in lists else 0):
@@ -182,6 +177,32 @@ def score_term_lists(
             cand = cand[~_phrase_mask(cand, lists, ph, P)]
             if cand.size == 0:
                 return empty
+    return cand
+
+
+def score_term_lists(
+    pq: ParsedQuery,
+    lists: dict,
+    idf_of: dict,
+    k1: float,
+    b: float,
+    avgdl: float,
+    n_keep: int,
+    allow_ids: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """The document-at-a-time scoring core, shared VERBATIM by the
+    distributed chunk kernel and the serving tier (query/serve.py) — one
+    scorer, two transports, so rank identity holds by construction.
+
+    lists: term -> (ids sorted unique, tfs, dls or None, pos_flat or None);
+    returns (doc_ids, scores) of the local top-n_keep (score desc, id asc).
+    """
+    pos_sorted = tuple(sorted(pq.terms))
+    empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
+
+    cand = candidate_ids(pq, lists, allow_ids)
+    if cand.size == 0:
+        return empty
 
     scores = np.zeros(cand.shape[0], dtype=np.float64)
     for t in pos_sorted:
@@ -193,6 +214,79 @@ def score_term_lists(
         scores += idf_of[t] * impact
     order = np.lexsort((cand, -scores))[:n_keep]
     return cand[order], scores[order]
+
+
+def _decode_chunk_lists(
+    pdf: pd.DataFrame,
+    tomb_ids: np.ndarray | None,
+    tomb_gens: np.ndarray | None,
+    score_terms: frozenset,
+    phrase_terms: frozenset,
+) -> dict:
+    """Decode one chunk's block rows into per-term posting arrays:
+    term -> (ids sorted, tfs, dls or None, pos_flat or None).
+
+    dls decode only for `score_terms`, positions only for `phrase_terms`;
+    generation-scoped tombstones applied per (term, gen) before the merge.
+    Shared by the scoring kernel and the boolean match-set kernel."""
+    pdf = pdf.sort_values(["term", "gen", "first_doc"], kind="mergesort")
+    lists: dict[str, tuple] = {}
+    for term, grp in pdf.groupby("term", sort=False):
+        want_score = term in score_terms
+        want_pos = term in phrase_terms
+        p_ids, p_tfs, p_dls, p_pos = [], [], [], []
+        for gen, g2 in grp.groupby("gen", sort=True):
+            # batch decode: ONE call per column per (term, gen) — varints
+            # are self-delimiting, and doc-id gap runs reset per block
+            # (grouped decode keyed by the block posting counts)
+            ns = g2["n"].to_numpy(dtype=np.int64)
+            ids = grouped_delta_decode(b"".join(g2["docs_bin"]), ns)
+            tfs = varint_decode(b"".join(g2["tfs_bin"])).astype(np.int64)
+            dls = pos_flat = None
+            if want_score:
+                dls = varint_decode(b"".join(g2["dls_bin"])).astype(np.float64)
+            if want_pos:
+                pos_flat = grouped_delta_decode(b"".join(g2["pos_bin"]), tfs)
+            if tomb_ids is not None:
+                excl = tomb_ids[tomb_gens > int(gen)]
+                if excl.size:
+                    keep = ~np.isin(ids, excl)
+                    if want_pos:
+                        pos_flat = filter_groups(pos_flat, tfs, keep)
+                    ids, tfs = ids[keep], tfs[keep]
+                    if want_score:
+                        dls = dls[keep]
+            p_ids.append(ids)
+            p_tfs.append(tfs)
+            if want_score:
+                p_dls.append(dls)
+            if want_pos:
+                p_pos.append(pos_flat)
+        ids = np.concatenate(p_ids) if p_ids else np.empty(0, dtype=np.int64)
+        tfs = np.concatenate(p_tfs) if p_tfs else np.empty(0, dtype=np.int64)
+        # after per-gen tombstoning each doc survives in exactly one
+        # generation; re-sort the merged list by doc_id
+        order = np.argsort(ids, kind="stable")
+        pos_flat = None
+        if want_pos:
+            pos_flat = gather_groups(np.concatenate(p_pos), tfs, order)
+        dls = np.concatenate(p_dls)[order] if want_score else None
+        lists[term] = (ids[order], tfs[order], dls, pos_flat)
+    return lists
+
+
+def _aux_arrays(aux: pd.DataFrame | None):
+    """Split the cogrouped aux frame into (tomb_ids, tomb_gens, allow_ids)."""
+    tomb_ids = tomb_gens = allow_ids = None
+    if aux is not None and len(aux):
+        t = aux[aux["kind"] == "tomb"]
+        if len(t):
+            tomb_ids = t["doc_id"].to_numpy(dtype=np.int64)
+            tomb_gens = t["before_gen"].to_numpy(dtype=np.int64)
+        a = aux[aux["kind"] == "allow"]
+        if len(a):
+            allow_ids = np.sort(a["doc_id"].to_numpy(dtype=np.int64))
+    return tomb_ids, tomb_gens, allow_ids
 
 
 def _make_chunk_scorer(
@@ -231,16 +325,7 @@ def _make_chunk_scorer(
     def score_chunk(pdf: pd.DataFrame, aux: pd.DataFrame | None = None) -> pd.DataFrame:
         if len(pdf) == 0:
             return empty
-        tomb_ids = tomb_gens = None
-        allow_ids = None
-        if aux is not None and len(aux):
-            t = aux[aux["kind"] == "tomb"]
-            if len(t):
-                tomb_ids = t["doc_id"].to_numpy(dtype=np.int64)
-                tomb_gens = t["before_gen"].to_numpy(dtype=np.int64)
-            a = aux[aux["kind"] == "allow"]
-            if len(a):
-                allow_ids = np.sort(a["doc_id"].to_numpy(dtype=np.int64))
+        tomb_ids, tomb_gens, allow_ids = _aux_arrays(aux)
         if filter_active and allow_ids is None:
             return empty  # filter active, nothing allowed in this chunk
 
@@ -264,54 +349,7 @@ def _make_chunk_scorer(
         if bound < tau:  # ties kept: equal-score docs can win on doc_id
             return empty
 
-        pdf = pdf.sort_values(["term", "gen", "first_doc"], kind="mergesort")
-        lists: dict[str, tuple] = {}
-        for term, grp in pdf.groupby("term", sort=False):
-            want_score = term in pos_set
-            want_pos = term in phrase_terms
-            p_ids, p_tfs, p_dls, p_pos = [], [], [], []
-            for gen, g2 in grp.groupby("gen", sort=True):
-                # batch decode: ONE call per column per (term, gen) — varints
-                # are self-delimiting, and doc-id gap runs reset per block
-                # (grouped decode keyed by the block posting counts)
-                ns = g2["n"].to_numpy(dtype=np.int64)
-                ids = grouped_delta_decode(b"".join(g2["docs_bin"]), ns)
-                tfs = varint_decode(b"".join(g2["tfs_bin"])).astype(np.int64)
-                dls = pos_flat = None
-                if want_score:
-                    dls = varint_decode(b"".join(g2["dls_bin"])).astype(
-                        np.float64
-                    )
-                if want_pos:
-                    pos_flat = grouped_delta_decode(
-                        b"".join(g2["pos_bin"]), tfs
-                    )
-                if tomb_ids is not None:
-                    excl = tomb_ids[tomb_gens > int(gen)]
-                    if excl.size:
-                        keep = ~np.isin(ids, excl)
-                        if want_pos:
-                            pos_flat = filter_groups(pos_flat, tfs, keep)
-                        ids, tfs = ids[keep], tfs[keep]
-                        if want_score:
-                            dls = dls[keep]
-                p_ids.append(ids)
-                p_tfs.append(tfs)
-                if want_score:
-                    p_dls.append(dls)
-                if want_pos:
-                    p_pos.append(pos_flat)
-            ids = np.concatenate(p_ids) if p_ids else np.empty(0, dtype=np.int64)
-            tfs = np.concatenate(p_tfs) if p_tfs else np.empty(0, dtype=np.int64)
-            # after per-gen tombstoning each doc survives in exactly one
-            # generation; re-sort the merged list by doc_id
-            order = np.argsort(ids, kind="stable")
-            pos_flat = None
-            if want_pos:
-                pos_flat = gather_groups(np.concatenate(p_pos), tfs, order)
-            dls = np.concatenate(p_dls)[order] if want_score else None
-            lists[term] = (ids[order], tfs[order], dls, pos_flat)
-
+        lists = _decode_chunk_lists(pdf, tomb_ids, tomb_gens, pos_set, phrase_terms)
         doc_ids, scores = score_term_lists(
             pq, lists, idf_of, k1, b, avgdl, n_keep, allow_ids
         )
@@ -509,3 +547,89 @@ def wand_topk(
         if i + 1 > offset
     ]
     return spark.createDataFrame(page, RESULT_SCHEMA)
+
+
+MATCH_SCHEMA = T.StructType([T.StructField("doc_id", T.LongType())])
+
+
+def _make_chunk_matcher(pq: ParsedQuery, filter_active: bool):
+    """applyInPandas / cogroup kernel for the boolean match set: emit EVERY
+    doc in the chunk satisfying the query — no scoring, no truncation.
+    Decode + candidate logic shared with the scoring kernel
+    (_decode_chunk_lists / candidate_ids), so match semantics are identical
+    by construction."""
+    pos_set = frozenset(pq.terms)
+    phrase_terms = frozenset(
+        t for ph in (pq.phrases + pq.neg_phrases) for t in ph
+    )
+    # dls decode only to bound the phrase-key stride P; term-only queries
+    # never touch dls_bin
+    score_terms = pos_set if (pq.phrases or pq.neg_phrases) else frozenset()
+    empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64")})
+
+    def match_chunk(pdf: pd.DataFrame, aux: pd.DataFrame | None = None) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return empty
+        tomb_ids, tomb_gens, allow_ids = _aux_arrays(aux)
+        if filter_active and allow_ids is None:
+            return empty  # filter active, nothing allowed in this chunk
+        seen = set(pdf["term"])
+        if any(t not in seen for t in pos_set):
+            return empty  # conjunctive: some positive term absent
+        for ph in pq.phrases:
+            if any(t not in seen for t in ph):
+                return empty
+        lists = _decode_chunk_lists(
+            pdf, tomb_ids, tomb_gens, score_terms, phrase_terms
+        )
+        return pd.DataFrame({"doc_id": candidate_ids(pq, lists, allow_ids)})
+
+    return match_chunk
+
+
+def match_docs(
+    index: IndexReader,
+    query_text: str,
+    filter_docs: DataFrame | None = None,
+    pq: ParsedQuery | None = None,
+) -> DataFrame:
+    """Boolean AND-of-terms match set over the index: every live doc
+    satisfying the query, as a lazy DataFrame of doc_id — no scoring, no
+    top-k, no limit, nothing collected to the driver.
+
+    This is the operator behind an *unlimited* cardsearch context: the
+    reference ANDs the card-scoped query into the value query as an
+    unbounded bool filter (trovesearch_denorm.py:838-859), so valuesearch
+    counts must see EVERY matching card, not a top-k page. The result is a
+    semi-join plan — compose it with groupBy/aggregate stages downstream.
+
+    Scale shape: one metadata-free job; chunks prune conjunctively (all
+    positive terms must appear in the chunk) before any posting bytes
+    decode, term stats are never needed (no idf), and the match set stays
+    distributed end to end.
+    """
+    pq = pq if pq is not None else parse_query(query_text, index.analyzer)
+    if not pq.terms:
+        raise ValueError("query has no positive terms")
+    has_phrases = bool(pq.phrases or pq.neg_phrases)
+    phrase_terms = [t for ph in (pq.phrases + pq.neg_phrases) for t in ph]
+    all_terms = list(dict.fromkeys(pq.terms + pq.neg_terms + tuple(phrase_terms)))
+
+    cols = ["term", "chunk", "first_doc", "n", "docs_bin", "tfs_bin", "gen"]
+    if has_phrases:
+        cols += ["dls_bin", "pos_bin"]  # read only when a phrase needs them
+    blocks = index.postings().filter(F.col("term").isin(all_terms)).select(*cols)
+
+    aux = _aux_frames(index, filter_docs)
+    matcher = _make_chunk_matcher(pq, filter_docs is not None)
+    if aux is None:
+        return blocks.groupBy("chunk").applyInPandas(
+            lambda pdf: matcher(pdf, None), schema=MATCH_SCHEMA
+        )
+    return (
+        blocks.groupBy("chunk")
+        .cogroup(aux.groupBy("chunk"))
+        .applyInPandas(
+            lambda left, right: matcher(left, right), schema=MATCH_SCHEMA
+        )
+    )

@@ -112,6 +112,12 @@ def to_jsonapi(
     )
     rel_by_doc: dict[object, dict[str, list[str]]] = {}
     included: list[dict] = []
+    if inc_paths and related is None:
+        # never silently return a plain document when a compound one was
+        # asked for (the reference rejects invalid include params)
+        raise ValueError(
+            "include= requires a doc_values-shaped `related` table"
+        )
     if inc_paths and related is not None and rows:
         page_ids = [r[id_col] for r in rows]
         rel_rows = (
