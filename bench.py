@@ -142,12 +142,19 @@ def run(spark=None, emit=True) -> dict:
         ("knn_bruteforce", "collect"),
         ("term_stats_top", "collect"),
         ("dedup_minhash_lsh", "count"),
-        ("dedup_simhash", "count"),
         ("text_quality", "count"),
     ):
         t0 = time.time()
         getattr(QUERIES[name](spark, SF_DIR), action)()
         results[name] = round(time.time() - t0, 3)
+
+    # simhash signatures (registry folded the sigs entry into _pairs; the
+    # bench keeps timing the signature computation itself for continuity)
+    from share_spark.textops import simhash
+
+    t0 = time.time()
+    simhash(spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))).count()
+    results["dedup_simhash"] = round(time.time() - t0, 3)
 
     # structured valuesearch plane: warm once (first call pays one-time
     # codegen + cold parquet scans shared with every other query), then time
