@@ -157,6 +157,28 @@ def build_oai_cards(
     )
 
 
+def derive_oai_metadata(turtle_cards: DataFrame) -> DataFrame:
+    """(card_id, focus_iri, turtle) -> the `derived` input of
+    build_oai_cards, produced by the REAL oai_dc deriver
+    (derive_oaidc.py — trove/derive/oaidc_xml.py contract) instead of a
+    fixture passthrough. Cards whose focus type is out of the deriver's
+    scope emit no row, so build_oai_cards' inner join excludes them — the
+    reference's deriver-filter semantics (indexcard_repository.py:203-207).
+    """
+    from .derive_oaidc import derive_oai_dc_xml
+
+    out = derive_oai_dc_xml(
+        turtle_cards.select(
+            F.col("card_id").alias("doc_id"), "focus_iri", "turtle"
+        )
+    )
+    return out.select(
+        F.col("doc_id").alias("card_id"),
+        F.lit("oai_dc").alias("deriver_id"),
+        F.col("metadata_xml").alias("derived_text"),
+    )
+
+
 @dataclass
 class OaiRepository:
     """The verb handlers; `cards` is the indexcard DataFrame (see module

@@ -1015,6 +1015,81 @@ FROM documents
 """
 
 
+def _derive_sharev2(spark, sf_dir):
+    """Card-level sharev2_elastic deriver end-to-end: generate a turtle
+    graph per doc (focus + creator agent; odd docs get a non-derivable
+    focus type and must be SKIPPED), parse + derive in the vectorized
+    mapInPandas deriver (derive_sharev2.py), emit the exact serialized JSON
+    (trove/derive/sharev2_elastic.py:126-209 contract: strip_empty_values +
+    sort_keys). The oracle reconstructs the same JSON byte-for-byte in SQL,
+    including the IDObfuscator hex id."""
+    from .derive_sharev2 import OSFMAP, SHAREV2, derive_sharev2_elastic
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    m = (F.col("doc_id") % 3).cast("string")
+    created = F.date_format(
+        F.date_add(F.lit("1995-01-01").cast("date"), (F.col("doc_id") % 2000).cast("int")),
+        "yyyy-MM-dd",
+    )
+    typ = F.when(F.col("doc_id") % 2 == 0, F.lit("osf:Preprint")).otherwise(
+        F.lit("sv2:Article")
+    )
+    ttl = F.concat(
+        F.lit("@prefix dcterms: <http://purl.org/dc/terms/> . "
+              "@prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> . "
+              "@prefix foaf: <http://xmlns.com/foaf/0.1/> . "
+              f"@prefix osf: <{OSFMAP}> . @prefix sv2: <{SHAREV2}> . "
+              "<https://card.example/"), d, F.lit("> rdf:type "), typ,
+        F.lit(' ; dcterms:title "Doc '), d, F.lit('" ; dcterms:created "'),
+        created, F.lit('" ; dcterms:creator <https://agent.example/a'), m,
+        F.lit("> . <https://agent.example/a"), m,
+        F.lit('> rdf:type sv2:Person ; foaf:name "Agent '), m, F.lit('" . '),
+    )
+    cards = docs.select(
+        "doc_id",
+        F.concat(F.lit("https://card.example/"), d).alias("focus_iri"),
+        ttl.alias("turtle"),
+        F.col("doc_id").alias("suid_pk"),
+        F.concat(F.lit("card-"), d).alias("indexcard_id"),
+        F.lit("2345-01-01T00:00:00").alias("date_created"),
+        F.lit("2345-02-02T00:00:00").alias("date_modified"),
+        F.lit("srcname").alias("source_name"),
+        F.lit("srclabel").alias("source_config_label"),
+        F.concat(F.lit("uid-"), d).alias("source_unique_id"),
+    )
+    return derive_sharev2_elastic(cards)
+
+
+_DERIVE_SHAREV2_ORACLE = r"""
+SELECT doc_id,
+  '{"contributors": ["Agent ' || m || '"], "date": "' || created
+  || '", "date_created": "2345-01-01T00:00:00", "date_modified": "2345-02-02T00:00:00", "date_published": "'
+  || created || '", "id": "' || obf || '", "indexcard_id": "card-' || doc_id
+  || '", "lists": {"contributors": [{"cited_as": "Agent ' || m
+  || '", "name": "Agent ' || m
+  || '", "relation": "http://purl.org/dc/terms/creator", "type": "person", "types": ["person"]}]}, '
+  || '"osf_related_resource_types": {"analytic_code": false, "data": false, "materials": false, "papers": false, "supplements": false}, '
+  || '"retracted": false, "source_config": "srclabel", "source_unique_id": "uid-'
+  || doc_id || '", "sources": ["srcname"], "title": "Doc ' || doc_id
+  || '", "type": "preprint", "types": ["preprint"], "withdrawn": false}'
+  AS derived_json
+FROM (
+  SELECT doc_id, CAST(doc_id % 3 AS VARCHAR) AS m,
+         strftime(DATE '1995-01-01' + CAST(doc_id % 2000 AS INT), '%Y-%m-%d')
+           AS created,
+         '01' || substr(enc, 1, 3) || '-' || substr(enc, 4, 3) || '-'
+           || substr(enc, 7, 3) AS obf
+  FROM (
+    SELECT doc_id,
+           lpad(upper(to_hex((doc_id * 3735928559) % 10000000000)), 9, '0')
+             AS enc
+    FROM documents WHERE doc_id % 2 = 0
+  )
+)
+"""
+
+
 # ------------------------------------------------------- scalar / misc ops
 
 def _scalar_doc_meta(spark, sf_dir):
@@ -1075,6 +1150,7 @@ def _valuesearch_untrunc(spark, sf_dir):
 QUERIES = {
     # round-4 additions + the four entries the r3 run never reached
     "valuesearch_untrunc": _valuesearch_untrunc,
+    "derive_sharev2": _derive_sharev2,
     "knn_ivf_fullprobe": _knn_ivf,
     "cardsearch_e2e": _cardsearch_e2e,
     "scalar_doc_meta": _scalar_doc_meta,
@@ -1748,6 +1824,7 @@ ORACLES = {
     "oai_annotate": _OAI_ANNOTATE_ORACLE,
     "cardsearch_random_page2": _RANDOM_PAGE2_ORACLE,
     "rdf_extract_values": _RDF_EXTRACT_ORACLE,
+    "derive_sharev2": _DERIVE_SHAREV2_ORACLE,
     "scalar_doc_meta": """
         SELECT doc_id,
           CASE WHEN u LIKE '%/' THEN substr(nrm, 1, length(nrm) - 1) ELSE nrm
