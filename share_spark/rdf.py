@@ -32,6 +32,7 @@ from dataclasses import dataclass
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
@@ -207,15 +208,22 @@ def walk_tripledict(
     blocked: frozenset[str] = frozenset(),
 ) -> Iterator[tuple[tuple[str, ...], object]]:
     """GraphWalk parity (_trovesearch_util.py:200-237): yield (path, value)
-    for every reachable object; IRIs recurse (acyclic), literals only at
-    depth 1 or on extra paths; `date_properties` literals parse as dates.
+    for every reachable object; IRIs recurse (acyclic), literals only when
+    "close to" the focus or on extra paths; `date_properties` literals parse
+    as dates.
+
+    "Close to focus" means no IRI-IDENTIFIED resource along the path —
+    blank nodes do not break closeness (the reference's walk_twoples inlines
+    blanknode objects, so a literal behind a focus-attached blanknode keeps
+    close_to_focus=True, _trovesearch_util.py:177-190,204-221 — the
+    supplementary-description integer-sort shape depends on this).
 
     `blocked` seeds the visiting set — shortwalk_from semantics
     (_trovesearch_util.py:170-175: a walk from a value IRI that never
     re-enters the card focus)."""
     visiting: set[str] = set(blocked)
 
-    def _walk(iri: str, path_so_far: tuple[str, ...]):
+    def _walk(iri: str, path_so_far: tuple[str, ...], close: bool):
         if iri in visiting:
             return
         visiting.add(iri)
@@ -227,13 +235,13 @@ def walk_tripledict(
                 for obj in sorted(objs, key=_obj_sort_key):
                     if isinstance(obj, str):
                         yield (path, obj)
-                        yield from _walk(obj, path)
-                    elif (not path_so_far) or path in extra_literal_paths:
+                        yield from _walk(obj, path, close and obj.startswith("_:"))
+                    elif close or path in extra_literal_paths:
                         yield (path, obj)
         finally:
             visiting.discard(iri)
 
-    for path, obj in _walk(focus_iri, ()):
+    for path, obj in _walk(focus_iri, (), True):
         if isinstance(obj, Literal) and (
             path[-1] in date_properties
             or (obj.datatype == XSD + "date")
@@ -415,3 +423,53 @@ def extract_value_values(
                 )
 
     return docs.mapInPandas(_extract, schema=VALUE_VALUES_SCHEMA)
+
+
+def merge_supplementary_turtle(
+    cards: DataFrame,
+    supplements: DataFrame,
+    *,
+    turtle_col: str = "turtle",
+) -> DataFrame:
+    """Merge supplementary descriptions into each card's graph BEFORE
+    extraction — the as_rdfdoc_with_supplements analog
+    (trove/models/resource_description.py:57-63): the indexed doc is the
+    union graph of the Latest description plus every current Supplementary
+    description, so supplementary values (e.g. the integer-sort-via-
+    supplement shape, _common_trovesearch_tests.py:300-322) filter, sort,
+    and aggregate like natively-described values.
+
+    `supplements` is (doc_id, turtle). Turtle-level concatenation — main
+    description first, then supplements in sorted order for determinism —
+    so the graph walk runs over the MERGED tripledict and cross-description
+    references resolve exactly like the reference's merged RdfGraph. Blank
+    node labels in each supplement are suffixed with a content hash first:
+    the reference parses each description separately (labels are scoped
+    per-description), so concatenation must not collide '_:b0' across
+    descriptions.
+
+    Scale shape: groupBy on the supplements side (bounded by supplement
+    count, not corpus size) + one left join on doc_id; AQE broadcasts the
+    aggregated side when small.
+    """
+    sfx = F.conv(
+        F.pmod(F.xxhash64(F.col(turtle_col)), F.lit(1 << 40)).cast("string"),
+        10, 32,
+    )
+    relabeled = supplements.withColumn(
+        turtle_col,
+        F.regexp_replace(
+            F.col(turtle_col), F.lit("_:"), F.concat(F.lit("_:s"), sfx, F.lit("x"))
+        ),
+    )
+    supp = relabeled.groupBy("doc_id").agg(
+        F.concat_ws(" ", F.array_sort(F.collect_list(turtle_col))).alias("_supp_ttl")
+    )
+    merged = cards.join(supp, "doc_id", "left")
+    return merged.withColumn(
+        turtle_col,
+        F.when(
+            F.col("_supp_ttl").isNotNull(),
+            F.concat_ws(" ", F.col(turtle_col), F.col("_supp_ttl")),
+        ).otherwise(F.col(turtle_col)),
+    ).drop("_supp_ttl")

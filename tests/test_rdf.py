@@ -59,12 +59,19 @@ def test_walk_semantics():
     # depth-1 iris + recursion into subject s1 (acyclic)
     assert (("http://purl.org/dc/terms/subject",), "https://subj.example/s1") in paths
     assert ((RDF_TYPE,), "https://osf.example/vocab/Preprint") in paths
-    # blank node traversed: its name is reachable at depth 2 — but literals
-    # deeper than the focus are NOT kept (GraphWalk close_to_focus rule)
-    deep_lits = [
-        (p, v) for p, v in got if isinstance(v, Literal) and len(p) > 1
-    ]
-    assert deep_lits == []
+    # close-to-focus rule (GraphWalk, _trovesearch_util.py:177-190): a
+    # literal behind a focus-attached BLANK node is kept (blanknodes are
+    # inlined, so closeness survives), but a literal behind an
+    # IRI-identified resource (subject s1's name) is NOT
+    deep_lits = {
+        (p, v.value) for p, v in got if isinstance(v, Literal) and len(p) > 1
+    }
+    assert deep_lits == {
+        (
+            ("http://purl.org/dc/terms/creator", "http://xmlns.com/foaf/0.1/name"),
+            "Ada Example",
+        )
+    }
     # typed values converted
     assert (("http://purl.org/dc/terms/created",), datetime.date(1999, 12, 31)) in got
     assert (("https://osf.example/vocab/downloads",), 42) in got
