@@ -187,8 +187,10 @@ class SearchEngine:
         if mediatype == "text/tab-separated-values":
             return to_tsv(df, **kw)
         if mediatype == "application/vnd.api+json":
-            # include=path,... resolves against doc_values (compound docs)
+            # include=path,... resolves against doc_values (compound docs);
+            # dotted multi-hop paths walk value_meta
             kw.setdefault("related", self.doc_values)
+            kw.setdefault("related_meta", self.value_meta)
             return to_jsonapi(
                 df, kw.pop("resource_type", "index-card"),
                 kw.pop("id_col", "doc_id"),

@@ -85,6 +85,7 @@ def to_jsonapi(
     limit: int = 101,
     render_params=None,
     related: DataFrame | None = None,
+    related_meta: DataFrame | None = None,
 ) -> dict:
     """JSON:API-shaped document: {data: [{type, id, attributes}], meta}.
 
@@ -102,45 +103,110 @@ def to_jsonapi(
     trovesearch_gathering.py:381-474) needs `related`: a doc_values-shaped
     table (doc_id, path_key, iri_value). Each data row gains a
     `relationships[path]` linkage and the distinct related values are
-    emitted once in `included`. The related scan is filtered to the page's
-    <=`limit` ids and the requested paths — both predicates push down to
-    the parquet scan, so the page cost is independent of corpus size."""
+    emitted once in `included`. Dot-separated include paths walk further
+    hops (`include=subj.type`): hop >= 2 resolves against `related_meta`
+    (a value_meta-shaped table (doc_id, value_iri, path_key, iri_value) —
+    rdf.extract_value_values), attaching relationships to the included
+    resources themselves and pulling their targets into `included` — the
+    gatherer's arbitrary-path walk, scoped to each card's own graph. Every
+    scan is filtered to the page's <=`limit` ids and the requested paths —
+    both predicates push down to the parquet scan, so the page cost is
+    independent of corpus size."""
     keep = render_params.fields_for(resource_type) if render_params else None
     rows = df.limit(limit).collect()
     inc_paths = tuple(
         getattr(render_params, "included_relations", ()) or ()
     )
     rel_by_doc: dict[object, dict[str, list[str]]] = {}
-    included: list[dict] = []
+    inc_entries: dict[tuple[str, str], dict] = {}  # (type, id) -> entry
     if inc_paths and related is None:
         # never silently return a plain document when a compound one was
         # asked for (the reference rejects invalid include params)
         raise ValueError(
             "include= requires a doc_values-shaped `related` table"
         )
+    seg_lists = [p.split(".") for p in inc_paths]
+    if any(len(s) > 1 for s in seg_lists) and related_meta is None:
+        raise ValueError(
+            "multi-hop include= (dotted path) requires a value_meta-shaped "
+            "`related_meta` table (rdf.extract_value_values)"
+        )
     if inc_paths and related is not None and rows:
         page_ids = [r[id_col] for r in rows]
+        hop1 = sorted({s[0] for s in seg_lists})
         rel_rows = (
-            related.filter(F.col("path_key").isin(list(inc_paths)))
+            related.filter(F.col("path_key").isin(hop1))
             .filter(F.col("doc_id").isin(page_ids))
             .filter(F.col("iri_value").isNotNull())
             .select("doc_id", "path_key", "iri_value")
             .distinct()
             .collect()
         )
-        seen: set[tuple[str, str]] = set()
+        # frontier per path-prefix: the (doc, value) pairs reached so far
+        frontiers: dict[tuple[str, ...], set[tuple[object, str]]] = {}
         for rr in sorted(
             rel_rows, key=lambda r: (str(r["doc_id"]), r["path_key"], r["iri_value"])
         ):
             rel_by_doc.setdefault(rr["doc_id"], {}).setdefault(
                 rr["path_key"], []
             ).append(rr["iri_value"])
-            key = (rr["path_key"], rr["iri_value"])
-            if key not in seen:
-                seen.add(key)
-                included.append(
-                    {"type": rr["path_key"], "id": rr["iri_value"]}
+            inc_entries.setdefault(
+                (rr["path_key"], rr["iri_value"]),
+                {"type": rr["path_key"], "id": rr["iri_value"]},
+            )
+            frontiers.setdefault((rr["path_key"],), set()).add(
+                (rr["doc_id"], rr["iri_value"])
+            )
+        # hop >= 2: walk each dotted path one segment at a time over the
+        # card-scoped value_meta rows (one bounded collect per hop depth)
+        max_depth = max((len(s) for s in seg_lists), default=1)
+        for depth in range(1, max_depth):
+            active = {
+                tuple(s[: depth + 1])
+                for s in seg_lists
+                if len(s) > depth and tuple(s[:depth]) in frontiers
+            }
+            if not active:
+                break
+            seg_of = {pfx: pfx[depth] for pfx in active}
+            want_vals = sorted(
+                {v for pfx in active for _, v in frontiers[pfx[:depth]]}
+            )
+            meta_rows = (
+                related_meta.filter(
+                    F.col("path_key").isin(sorted(set(seg_of.values())))
                 )
+                .filter(F.col("doc_id").isin(page_ids))
+                .filter(F.col("value_iri").isin(want_vals))
+                .filter(F.col("iri_value").isNotNull())
+                .select("doc_id", "value_iri", "path_key", "iri_value")
+                .distinct()
+                .collect()
+            )
+            for pfx in sorted(active):
+                seg = seg_of[pfx]
+                src_type = pfx[depth - 1]
+                prev = frontiers[pfx[:depth]]
+                for mr in sorted(
+                    meta_rows,
+                    key=lambda r: (str(r["doc_id"]), r["value_iri"], r["iri_value"]),
+                ):
+                    if mr["path_key"] != seg:
+                        continue
+                    if (mr["doc_id"], mr["value_iri"]) not in prev:
+                        continue
+                    src = inc_entries[(src_type, mr["value_iri"])]
+                    tgt_ref = {"type": seg, "id": mr["iri_value"]}
+                    rels = src.setdefault("relationships", {}).setdefault(
+                        seg, {"data": []}
+                    )
+                    if tgt_ref not in rels["data"]:
+                        rels["data"].append(tgt_ref)
+                    inc_entries.setdefault((seg, mr["iri_value"]), dict(tgt_ref))
+                    frontiers.setdefault(pfx, set()).add(
+                        (mr["doc_id"], mr["iri_value"])
+                    )
+    included = [inc_entries[k] for k in sorted(inc_entries)]
     data = []
     for r in rows:
         attrs = {

@@ -157,3 +157,54 @@ def test_compile_sort_int_is_numeric_and_multivalue_safe(built_index, spark):
     vals = {d: max(v for dd, *_, v in [r for r in rows] if dd == d) for d in set(x[0] for x in rows)}
     want = sorted(vals, key=lambda d: (-vals[d], d))[:10]
     assert got == want
+
+
+def test_jsonapi_multihop_include(spark):
+    """Dotted include paths walk further hops through value_meta
+    (trovesearch_gathering.py:381-474 arbitrary-path gatherer analog):
+    include=subj.type emits the subject resources WITH their own
+    type relationships, and the type resources join `included`."""
+    from share_spark.query.params import parse_render_params
+    from share_spark.render import to_jsonapi
+
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "doc_id long, t string")
+    related = spark.createDataFrame(
+        [(1, '["subj"]', "://s/1"), (2, '["subj"]', "://s/2")],
+        "doc_id long, path_key string, iri_value string",
+    )
+    related_meta = spark.createDataFrame(
+        [
+            (1, "://s/1", '["type"]', "://t/Concept"),
+            (2, "://s/2", '["type"]', "://t/Concept"),
+            # decoy: right value, wrong path — must not surface
+            (1, "://s/1", '["other"]', "://t/Nope"),
+            # decoy: value not reached from any page doc at the prefix
+            (1, "://s/9", '["type"]', "://t/Unreached"),
+        ],
+        "doc_id long, value_iri string, path_key string, iri_value string",
+    )
+    rp = parse_render_params('include=%5B%22subj%22%5D.%5B%22type%22%5D')
+    doc = to_jsonapi(
+        df, "card", "doc_id", render_params=rp,
+        related=related, related_meta=related_meta,
+    )
+    # hop-1 relationships on data rows
+    rel1 = doc["data"][0]["relationships"]['["subj"]']["data"]
+    assert rel1 == [{"type": '["subj"]', "id": "://s/1"}]
+    # included: both subjects and the hop-2 type resource, no decoys
+    by_type = {}
+    for e in doc["included"]:
+        by_type.setdefault(e["type"], []).append(e)
+    assert {e["id"] for e in by_type['["subj"]']} == {"://s/1", "://s/2"}
+    assert [e["id"] for e in by_type['["type"]']] == ["://t/Concept"]
+    assert "://t/Nope" not in {e["id"] for es in by_type.values() for e in es}
+    # hop-2 relationships hang on the INCLUDED subject resources
+    s1 = next(e for e in by_type['["subj"]'] if e["id"] == "://s/1")
+    assert s1["relationships"]['["type"]']["data"] == [
+        {"type": '["type"]', "id": "://t/Concept"}
+    ]
+    # multi-hop without related_meta refuses loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="related_meta"):
+        to_jsonapi(df, "card", "doc_id", render_params=rp, related=related)
