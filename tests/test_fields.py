@@ -109,3 +109,79 @@ def test_compile_cardsearch_scoped_without_field_index_raises(built_index):
     params = parse_cardsearch("cardSearchText[title]=danger")
     with pytest.raises(ValueError, match="FieldIndex"):
         compile_cardsearch(params, built_index)
+
+
+def test_scoped_match_docs_unlimited(field_index, pages_pdf):
+    """scoped_match_docs == full scoped membership (no top-k): equals the
+    brute-force token check and the union of per-path scoped_topk hit sets
+    at saturating k — the unbounded valuesearch card-context operator."""
+    got = {
+        r["doc_id"]
+        for r in field_index.scoped_match_docs("the", ["title"]).collect()
+    }
+    want = {
+        int(r.doc_id)
+        for r in pages_pdf.itertuples()
+        if "the" in r.text.lower().split()[:8]
+    }
+    assert got == want and len(got) > 13  # larger than any default page
+    both = {
+        r["doc_id"]
+        for r in field_index.scoped_match_docs(
+            "the", ["title", "abstract"]
+        ).collect()
+    }
+    want_both = {
+        int(r.doc_id)
+        for r in pages_pdf.itertuples()
+        if "the" in r.text.lower().split()
+    }
+    assert both == want_both
+
+
+def test_compile_valuesearch_scoped_text_context(
+    field_index, built_index, spark, pages_pdf
+):
+    """cardSearchText[path] inside a valuesearch compiles through
+    scoped_match_docs when a FieldIndex is supplied — and refuses loudly
+    without one (never silently widened)."""
+    import pytest as _pytest
+    from share_spark.query.params import (
+        CardsearchParams,
+        ValuesearchParams,
+        compile_valuesearch,
+    )
+
+    dv_rows = [
+        (int(r.doc_id), '["subj"]', 1, "iri", f"://v/{int(r.doc_id) % 3}",
+         None, None, None)
+        for r in pages_pdf.itertuples()
+    ]
+    dv = spark.createDataFrame(
+        dv_rows,
+        "doc_id long, path_key string, depth int, value_type string, "
+        "iri_value string, text_value string, date_value date, int_value long",
+    )
+    params = ValuesearchParams(
+        value_path='["subj"]',
+        cardsearch=CardsearchParams(texts=("the",), text_paths=("title",)),
+        page_size=10,
+    )
+    got = {
+        r["iri_value"]: r["match_count"]
+        for r in compile_valuesearch(
+            params, built_index, dv, value_type="iri",
+            field_index=field_index,
+        ).collect()
+    }
+    members = {
+        int(r.doc_id)
+        for r in pages_pdf.itertuples()
+        if "the" in r.text.lower().split()[:8]
+    }
+    want: dict[str, int] = {}
+    for d in members:
+        want[f"://v/{d % 3}"] = want.get(f"://v/{d % 3}", 0) + 1
+    assert got == want
+    with _pytest.raises(ValueError, match="FieldIndex"):
+        compile_valuesearch(params, built_index, dv, value_type="iri")
