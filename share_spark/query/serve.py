@@ -501,6 +501,11 @@ class ShardedTopKServer:
         for s in self._shards:
             s.refresh()
 
+    def warmup(self) -> None:
+        """Startup preload on every shard (TopKServer.warmup parity)."""
+        for s in self._shards:
+            s.warmup()
+
     def topk(
         self, query_text: str, k: int = 13, offset: int = 0
     ) -> list[tuple[int, float, int]]:
