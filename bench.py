@@ -138,6 +138,22 @@ def run(spark=None, emit=True) -> dict:
         list(pool.map(lambda q: srv.topk(q["query_text"], k=q["k"]), queries))
     results["serve_qps"] = round(len(queries) / (time.time() - t0), 1)
 
+    # --- incremental ingest: 5% of the corpus re-ingested as a new
+    # generation (tombstones + register), then one query over BOTH
+    # generations — the streaming path's driver-visible throughput
+    from share_spark.streaming.incremental import apply_incremental
+
+    changed = pages.filter(F.col("doc_id") % 20 == 0)
+    t0 = time.time()
+    inc_manifest = apply_incremental(spark, idx_dir, changed)
+    ingest_s = time.time() - t0
+    results["incremental_ingest"] = round(ingest_s, 3)
+    idx2 = IndexReader.open(spark, idx_dir)
+    t0 = time.time()
+    wand_topk(idx2, "data science", k=13).collect()
+    results["query_after_ingest"] = round(time.time() - t0, 3)
+    ingest_docs_per_sec = inc_manifest["n_docs"] / ingest_s
+
     # --- pipeline ops over the driver tables ------------------------------
     from share_spark.queries import QUERIES
 
@@ -191,6 +207,7 @@ def run(spark=None, emit=True) -> dict:
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
         "build_docs_per_sec": round(docs_per_sec, 1),
         "build_postings_per_sec": round(postings / build_s, 1),
+        "ingest_docs_per_sec": round(ingest_docs_per_sec, 1),
         "query_p95_ms": round(p95 * 1000, 1),
         "serve_p95_ms": round(results["serve_p95"] * 1000, 1),
         "serve_qps": results["serve_qps"],
