@@ -58,6 +58,17 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # zstd parquet output: 27% smaller index files than snappy (257 vs
+        # 353 MB at 500k docs) at identical build wall and identical query
+        # latency (wand p50/p95 and serve-tier percentiles measured
+        # unchanged; fewer bytes through the page cache). At 100 TB this is
+        # the difference between the index fitting hot storage or not.
+        # Read side is codec-agnostic (per-column-chunk footer metadata),
+        # so existing snappy indexes stay readable.
+        .config(
+            "spark.sql.parquet.compression.codec",
+            os.environ.get("SPARK_GRAFT_PARQUET_CODEC", "zstd"),
+        )
         # zstd shuffle/broadcast compression: the posting shuffle moves
         # highly-compressible (term, doc_id, tf, dl, pos_bin) rows, and the
         # build is memory-bandwidth-bound long before it is CPU-bound —
