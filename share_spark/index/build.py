@@ -644,15 +644,20 @@ def build_index(
 
 
 def config_of(index_dir: str) -> IndexConfig:
-    """Reconstruct the semantic IndexConfig an index was built with, from
-    its newest generation manifest. Incremental ingest and compaction MUST
+    """Reconstruct the IndexConfig an index was built with, from its BASE
+    (oldest) generation manifest. Incremental ingest and compaction MUST
     build with the same chunk/block geometry as the existing generations:
     tombstones and WAND pruning are chunk-keyed, so a generation with a
-    different chunk_docs silently fails to kill replaced docs."""
+    different chunk_docs silently fails to kill replaced docs. (Checksum
+    fields are identical across generations by construction; the oldest is
+    read because the non-checksum layout knobs — n_partitions, serve_layout
+    — are authoritative from the base build: incremental generations
+    right-size n_partitions to their own batch, which must not leak into
+    the config a compaction rebuilds the whole corpus with.)"""
     manifest_path = os.path.join(index_dir, "manifest.json")
     with open(manifest_path) as f:
         gens = json.load(f)["generations"]
-    gdir = os.path.join(index_dir, f"gen{max(gens)}")
+    gdir = os.path.join(index_dir, f"gen{min(gens)}")
     with open(os.path.join(gdir, "manifest.json")) as f:
         gm = json.load(f)
     return IndexConfig(

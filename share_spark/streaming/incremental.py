@@ -93,6 +93,24 @@ def apply_incremental(
             F.xxhash64("url").alias("doc_id")
         ).distinct()
 
+    # right-size the generation's partition count to the BATCH, not the
+    # base index: incremental batches are small relative to the corpus
+    # (2000-doc chunks in the reference, settings.py:303), and inheriting
+    # the base's n_partitions writes that many near-empty posting files per
+    # generation — file-count bloat at every micro-batch and extra footer
+    # opens on every query until compaction. n_partitions is layout-free
+    # (unlike chunk_docs, which MUST match for tombstone correctness), so
+    # this never changes semantics. ~25k docs per posting partition mirrors
+    # the full build's density at its own defaults.
+    batch_docs = changed_pages.count()
+    import dataclasses
+
+    base_parts = cfg.n_partitions or spark.sparkContext.defaultParallelism
+    cfg = dataclasses.replace(
+        cfg,
+        n_partitions=max(4, min(base_parts, batch_docs // 25_000 + 1)),
+    )
+
     gen_manifest = build_index(
         spark, changed_pages, index_dir, cfg, generation=generation,
         register=False,
