@@ -1,0 +1,112 @@
+"""osfmap_json nested JSON-LD deriver (trove/derive/osfmap_json.py:19-159
+contract): nesting with cycle guard, @value/@language/@type leaf forms,
+blank nodes without @id, functional single-values, deterministic
+multi-value ordering."""
+
+from __future__ import annotations
+
+import datetime
+import json
+
+import pytest
+
+from share_spark.derive_osfmap import (
+    OsfmapJsonRenderer,
+    derive_osfmap_card,
+    derive_osfmap_json,
+)
+from share_spark.rdf import Literal
+
+DCT = "http://purl.org/dc/terms/"
+FOAF = "http://xmlns.com/foaf/0.1/"
+XSD = "http://www.w3.org/2001/XMLSchema#"
+SHORT = {"dcterms": DCT, "foaf": FOAF, "xsd": XSD}
+
+
+def _graph():
+    return {
+        "://w/focus": {
+            DCT + "title": {Literal("Hello", lang="en")},
+            DCT + "created": {datetime.date(2021, 10, 18)},
+            DCT + "creator": {"://a/jw"},
+            DCT + "identifier": {Literal("id-b"), Literal("id-a")},
+            DCT + "references": {"_:b0"},
+            DCT + "extent": {Literal("42", datatype=XSD + "integer")},
+        },
+        "://a/jw": {
+            FOAF + "name": {Literal("JW")},
+            DCT + "isPartOf": {"://w/focus"},  # cycle back to focus
+        },
+        "_:b0": {DCT + "description": {Literal("blank desc")}},
+    }
+
+
+def test_nested_jsonld_shapes():
+    got = json.loads(derive_osfmap_card(_graph(), "://w/focus", SHORT))
+    assert got["@id"] == "://w/focus"
+    assert got["dcterms:title"] == [{"@value": "Hello", "@language": "en"}]
+    assert got["dcterms:created"] == [{"@value": "2021-10-18"}]
+    # typed literal gets @type with the compacted datatype
+    assert got["dcterms:extent"] == [{"@value": "42", "@type": "xsd:integer"}]
+    # multi-values sorted by json.dumps
+    assert got["dcterms:identifier"] == [{"@value": "id-a"}, {"@value": "id-b"}]
+    # nested described IRI, with the cycle back to focus cut to a bare @id
+    jw = got["dcterms:creator"][0]
+    assert jw["@id"] == "://a/jw"
+    assert jw["foaf:name"] == [{"@value": "JW"}]
+    assert jw["dcterms:isPartOf"] == [{"@id": "://w/focus"}]
+    # blank node nests WITHOUT an @id
+    blank = got["dcterms:references"][0]
+    assert "@id" not in blank
+    assert blank["dcterms:description"] == [{"@value": "blank desc"}]
+
+
+def test_functional_property_single_value_and_violation():
+    td = _graph()
+    r = OsfmapJsonRenderer(SHORT, functional=frozenset({DCT + "title"}))
+    got = r.render(td, "://w/focus")
+    assert got["dcterms:title"] == {"@value": "Hello", "@language": "en"}
+    td["://w/focus"][DCT + "title"].add(Literal("Second"))
+    with pytest.raises(ValueError, match="at most one"):
+        OsfmapJsonRenderer(
+            SHORT, functional=frozenset({DCT + "title"})
+        ).render(td, "://w/focus")
+
+
+def test_undescribed_iri_stays_reference():
+    td = {"://f": {DCT + "subject": {"://elsewhere/x"}}}
+    got = OsfmapJsonRenderer(SHORT).render(td, "://f")
+    assert got["dcterms:subject"] == [{"@id": "://elsewhere/x"}]
+
+
+def test_spark_derive_osfmap(spark):
+    rows = [
+        (
+            i,
+            f"https://card.example/{i}",
+            "@prefix dcterms: <http://purl.org/dc/terms/> . "
+            f'<https://card.example/{i}> dcterms:title "Doc {i}" ; '
+            f"dcterms:references _:x . "
+            f'_:x dcterms:description "inner {i}" . ',
+        )
+        for i in range(4)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, focus_iri string, turtle string"
+    )
+    out = {r["doc_id"]: json.loads(r["derived_json"])
+           for r in derive_osfmap_json(df).collect()}
+    assert set(out) == {0, 1, 2, 3}
+    # turtle @prefix declarations drive compaction by default
+    assert out[2]["dcterms:title"] == [{"@value": "Doc 2"}]
+    assert out[2]["dcterms:references"][0]["dcterms:description"] == [
+        {"@value": "inner 2"}
+    ]
+    # byte-identity with the plain-Python contract
+    from share_spark.rdf import parse_turtle
+
+    td, prefixes = parse_turtle(rows[0][2])
+    assert (
+        json.dumps(out[0])
+        == derive_osfmap_card(td, "https://card.example/0", prefixes)
+    )
