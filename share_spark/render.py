@@ -98,6 +98,15 @@ def to_jsonapi(
     `fields[TYPE]=a,b` restriction (trove/util/trove_params.py:44-117): only
     the requested attribute columns are emitted for this resource type.
 
+    blendCards note: the reference's UNblended default wraps every hit in a
+    'search-result' resource that merely references an 'index-card'
+    resource carrying the content (trovesearch_gathering.py:156-192);
+    `blendCards` collapses that indirection. A DataFrame result row IS the
+    collapsed form — attributes inline, one resource per hit — so this
+    renderer always emits the blended shape (the indirection carries no
+    additional information; `render_params.blend_cards` is accepted and
+    parsed for querystring compatibility).
+
     `include=path,path` (JSON:API compound documents; the reference resolves
     includes during gathering, trove/util/trove_params.py:44-117 +
     trovesearch_gathering.py:381-474) needs `related`: a doc_values-shaped

@@ -154,3 +154,48 @@ def test_valuesearch_excludes_expelled_docs(spark, pages_pdf, tmp_path):
     assert after_iri["://v/1"] == before_iri["://v/1"]
     assert after_date[2000] == before_date[2000] - 1
     assert after_date[2001] == before_date[2001]
+
+
+def test_match_docs_multigen_tombstones(spark, pages_pdf, tmp_path):
+    """The matcher kernel's aux channel: after an incremental re-ingest
+    (generation + replacement tombstones), match_docs must agree with the
+    exact scorer's membership — replaced docs counted once, from the new
+    generation only."""
+    import pandas as pd
+
+    from share_spark.index.build import IndexConfig, IndexReader, build_index
+    from share_spark.streaming.incremental import apply_incremental
+
+    idx_dir = str(tmp_path / "mgidx")
+    base = pages_pdf.head(120)
+    build_index(
+        spark, spark.createDataFrame(base), idx_dir,
+        IndexConfig(block_size=32, chunk_docs=64),
+    )
+    # replace a third of the docs with MODIFIED text (some gain the marker
+    # token, some lose everything else)
+    changed = base[base["doc_id"] % 3 == 0].copy()
+    changed["text"] = [
+        ("zzmarker " + t) if i % 2 == 0 else "zzmarker only"
+        for i, t in enumerate(changed["text"])
+    ]
+    if "html" in changed.columns:  # extract prefers html over text
+        changed["html"] = None
+    apply_incremental(spark, idx_dir, spark.createDataFrame(changed))
+    index = IndexReader.open(spark, idx_dir)
+
+    for q in ("the", "zzmarker", "the data", "zzmarker -only"):
+        got = sorted(
+            r["doc_id"] for r in match_docs(index, q).collect()
+        )
+        want = sorted(_exact_members(index, q))
+        assert got == want, q
+        assert len(got) == len(set(got)), f"duplicate doc in match set: {q}"
+    # replaced docs match ONLY via their new text: doc 0 lost its old body
+    # ('zzmarker only'), so any old-text-only query must not return it
+    only_docs = {
+        int(r.doc_id) for i, r in enumerate(changed.itertuples()) if i % 2 == 1
+    }
+    for q in ("the",):
+        got = {r["doc_id"] for r in match_docs(index, q).collect()}
+        assert not (got & only_docs)
