@@ -18,6 +18,7 @@ filters.py / bm25.py / wand.py / valuesearch.py / paging.py.
 
 from __future__ import annotations
 
+import json
 import re
 from dataclasses import dataclass, field
 from urllib.parse import parse_qsl
@@ -38,6 +39,31 @@ _OPS_SET = {
 _TEXT_RE = re.compile(r"^(cardSearchText|valueSearchText)(?:\[([^\]]*)\])?$")
 
 DEFAULT_OP = "any-of"
+
+
+def propertypath_key(path: str) -> str:
+    """Dot-delimited shorthand path -> the canonical path_key (the JSON-array
+    propertypath_as_keyword form the extractor emits).
+
+    Reference semantics (trove/util/propertypath.py:48-66 parse_propertypath):
+    steps split on '.', each step a 'prefix:name' shorthand. Passthrough
+    forms: already-canonical '["a", "b"]' paths, plain colon-free names (a
+    FieldIndex may key fields by arbitrary strings), and anything
+    containing '/' (a full IRI step — dots inside IRIs must not split; the
+    reference's shorthand layer has the same assumption in reverse)."""
+    if path.startswith("[") or "/" in path:
+        return path
+    steps = path.split(".")
+    if len(steps) == 1 and ":" not in path:
+        return path
+    if "*" in steps:
+        # glob validation is the caller's (all-* handled as glob_depth);
+        # a MIXED glob is invalid everywhere
+        raise ValueError(
+            f"path must be all * or no * (got {path!r}) — "
+            "trove/util/propertypath.py:57-64"
+        )
+    return json.dumps(steps)
 
 
 @dataclass(frozen=True)
@@ -166,11 +192,13 @@ def _parse_filters(pairs, regex) -> list[SearchFilter]:
             if v != ""
         )
         glob_depth = None
-        if path == "*" or set(path) == {"*"}:
+        if "*" in path and set(path) <= {"*", "."}:
+            # glob path: '*' / '*.*' (reference dot form) / legacy '**';
+            # depth = number of glob steps
             glob_depth = max(1, path.count("*"))
             paths = ()
         else:
-            paths = (path,)
+            paths = (propertypath_key(path),)
         out.append(
             SearchFilter(paths=paths, op=op, values=values, glob_depth=glob_depth)
         )
@@ -192,11 +220,11 @@ def parse_cardsearch(querystring: str) -> CardsearchParams:
             if tm.group(2):
                 for p in tm.group(2).split(","):
                     if p and p != "*":
-                        text_paths.append(p)
+                        text_paths.append(propertypath_key(p))
         elif key == "sort":
             if val and val not in ("-relevance", "relevance"):  # no-op parity
                 desc = val.startswith("-")
-                sort = SortParam(val.lstrip("-"), desc)
+                sort = SortParam(propertypath_key(val.lstrip("-")), desc)
         elif key == "page[size]":
             page_size = clamp_page_size(int(val))
         elif key == "page[cursor]":
@@ -220,7 +248,7 @@ def parse_valuesearch(querystring: str) -> ValuesearchParams:
     vtext_paths: list[str] = []
     for key, val in pairs:
         if key == "valueSearchPropertyPath":
-            vpath = val
+            vpath = propertypath_key(val)
         elif key == "page[size]":
             page_size = clamp_page_size(int(val))
         else:
@@ -231,7 +259,7 @@ def parse_valuesearch(querystring: str) -> ValuesearchParams:
                 if tm.group(2):
                     for p in tm.group(2).split(","):
                         if p and p != "*":
-                            vtext_paths.append(p)
+                            vtext_paths.append(propertypath_key(p))
     if not vpath:
         raise ValueError(
             "valueSearchPropertyPath is required "

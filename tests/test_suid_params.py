@@ -86,3 +86,45 @@ def test_parse_render_params():
     assert p.fields_for("Registration") == ("sameAs",)  # the fields[*] bucket
     assert parse_render_params("").blend_cards is False
     assert parse_render_params("q=x").fields_for("Anything") is None
+
+
+def test_propertypath_shorthand_expansion():
+    """Dot-delimited shorthand paths expand to the canonical JSON path_key
+    (trove/util/propertypath.py:48-66 parse_propertypath semantics);
+    canonical, single-step, and IRI-bearing paths pass through."""
+    import pytest as _pytest
+
+    from share_spark.query.params import (
+        parse_cardsearch,
+        parse_valuesearch,
+        propertypath_key,
+    )
+
+    assert (
+        propertypath_key("dcterms:creator.foaf:name")
+        == '["dcterms:creator", "foaf:name"]'
+    )
+    assert propertypath_key('["a", "b"]') == '["a", "b"]'
+    assert propertypath_key("title") == "title"  # plain field-key name
+    assert propertypath_key("dcterms:title") == '["dcterms:title"]'
+    assert propertypath_key("https://x.example/p.q") == "https://x.example/p.q"
+    with _pytest.raises(ValueError, match="all \\*"):
+        propertypath_key("*.foaf:name")
+
+    p = parse_cardsearch(
+        "cardSearchFilter[dcterms:creator.foaf:name][any-of]=%3A%2F%2Fa"
+        "&sort=-osf:stats.osf:downloads"
+        "&cardSearchText[dcterms:title]=hello"
+    )
+    assert p.filters[0].paths == ('["dcterms:creator", "foaf:name"]',)
+    assert p.sort.field == '["osf:stats", "osf:downloads"]'
+    assert p.sort.descending
+    assert p.text_paths == ('["dcterms:title"]',)
+    # reference dot-form glob '*.*' == legacy '**' == depth 2
+    g = parse_cardsearch("cardSearchFilter[*.*][is-present]=")
+    assert g.filters[0].glob_depth == 2 and g.filters[0].paths == ()
+
+    vp = parse_valuesearch(
+        "valueSearchPropertyPath=dcterms:subject.skos:prefLabel"
+    )
+    assert vp.value_path == '["dcterms:subject", "skos:prefLabel"]'
