@@ -232,17 +232,15 @@ def _filter_noneof_source(spark, sf_dir):
     return docs.join(matching, "doc_id", "left_anti").select("doc_id", "source")
 
 
-def _date_at_year(spark, sf_dir):
-    """AT_DATE granularity ('1995' = the whole year), grouped by month."""
-    orders = _t(spark, sf_dir, "orders")
-    return (
-        orders.filter(
-            (F.col("o_orderdate") >= F.lit("1995-01-01"))
-            & (F.col("o_orderdate") < F.lit("1996-01-01"))
-        )
-        .groupBy(F.month("o_orderdate").cast("long").alias("month"))
-        .agg(F.count("*").alias("n_orders"))
-    )
+def _events_sessionize(spark, sf_dir):
+    """Gap-based sessionization (batch twin of the applyInPandasWithState
+    streaming operator, streaming/sessionize.py; equivalence proven by
+    tests/test_sessionize.py): one session per >=30min-separated run of a
+    user's events."""
+    from .streaming.sessionize import sessionize_batch
+
+    ev = _t(spark, sf_dir, "events")
+    return sessionize_batch(ev.select("user_id", "ts"), gap_seconds=1800)
 
 
 def _date_histogram_years(spark, sf_dir):
@@ -1180,7 +1178,7 @@ QUERIES = {
     # filters / aggs / sorts / paging (SURVEY.md §2.2, §2.4, §2.6)
     "filter_anyof_lang": _filter_anyof_lang,
     "filter_noneof_source": _filter_noneof_source,
-    "date_at_year": _date_at_year,
+    "events_sessionize": _events_sessionize,
     "date_histogram_years": _date_histogram_years,
     "related_props": _related_props,
     "sort_int_page": _sort_int_page,
@@ -1594,12 +1592,24 @@ ORACLES = {
         "SELECT doc_id, lang FROM documents WHERE lang IN ('en','de')",
     "filter_noneof_source":
         "SELECT doc_id, source FROM documents WHERE source NOT IN ('src0','src1')",
-    "date_at_year": """
-        SELECT CAST(month(o_orderdate) AS BIGINT) AS month,
-               count(*) AS n_orders
-        FROM orders
-        WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01'
-        GROUP BY month
+    "events_sessionize": """
+        WITH marked AS (
+          SELECT user_id, ts,
+            CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                 THEN 1 ELSE 0 END AS ns
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        sess AS (
+          SELECT user_id, ts,
+                 sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sid
+          FROM marked
+        )
+        SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+               count(*) AS n_events
+        FROM sess GROUP BY user_id, sid
     """,
     "date_histogram_years": """
         SELECT CAST(year(o_orderdate) AS BIGINT) AS year, count(*) AS match_count
