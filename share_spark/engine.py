@@ -171,6 +171,29 @@ class SearchEngine:
             raise ValueError("oaipmh requires an oai_cards table")
         return OaiRepository(self.oai_cards).handle_request(params)
 
+    # -- deriver registry -----------------------------------------------------
+
+    def derive(self, turtle_cards: DataFrame, deriver: str = "sharev2_elastic",
+               **kw) -> DataFrame:
+        """Deriver-registry dispatch (trove/derive/__init__.py:13-40):
+        'sharev2_elastic' -> (doc_id, derived_json)   [needs CardMeta cols]
+        'oai_dc'          -> (doc_id, metadata_xml)
+        'osfmap_json'     -> (doc_id, derived_json)
+        Input: (doc_id, focus_iri, turtle [, meta columns])."""
+        if deriver == "sharev2_elastic":
+            from .derive_sharev2 import derive_sharev2_elastic
+
+            return derive_sharev2_elastic(turtle_cards, **kw)
+        if deriver == "oai_dc":
+            from .derive_oaidc import derive_oai_dc_xml
+
+            return derive_oai_dc_xml(turtle_cards, **kw)
+        if deriver == "osfmap_json":
+            from .derive_osfmap import derive_osfmap_json
+
+            return derive_osfmap_json(turtle_cards, **kw)
+        raise ValueError(f"unknown deriver: {deriver}")
+
     # -- outbound renderers ---------------------------------------------------
 
     def render(self, df: DataFrame, mediatype: str, **kw) -> object:

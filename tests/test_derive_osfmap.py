@@ -110,3 +110,41 @@ def test_spark_derive_osfmap(spark):
         json.dumps(out[0])
         == derive_osfmap_card(td, "https://card.example/0", prefixes)
     )
+
+
+def test_engine_deriver_registry_dispatch(spark, tmp_path):
+    """SearchEngine.derive dispatches the full deriver registry
+    (trove/derive/__init__.py:13-40 analog) and rejects unknown names."""
+    import pytest as _pytest
+
+    from share_spark.engine import SearchEngine
+    from share_spark.index.build import IndexConfig
+
+    pages = spark.createDataFrame(
+        [(1, "https://c/1", "one doc")], "doc_id long, url string, text string"
+    )
+    engine = SearchEngine.build(
+        spark, pages, str(tmp_path / "idx"), IndexConfig(block_size=32)
+    )
+    cards = spark.createDataFrame(
+        [(1, "https://c/1",
+          "@prefix dcterms: <http://purl.org/dc/terms/> . "
+          "@prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> . "
+          "@prefix osf: <https://osf.io/vocab/2022/> . "
+          '<https://c/1> rdf:type osf:Preprint ; dcterms:title "T1" . ')],
+        "doc_id long, focus_iri string, turtle string",
+    )
+    osf = engine.derive(cards, "osfmap_json").collect()
+    assert json.loads(osf[0]["derived_json"])["dcterms:title"] == [{"@value": "T1"}]
+    oai = engine.derive(cards, "oai_dc").collect()
+    assert "<dc:title>T1</dc:title>" in oai[0]["metadata_xml"]
+    meta_cards = cards.selectExpr(
+        "doc_id", "focus_iri", "turtle", "doc_id AS suid_pk",
+        "'c1' AS indexcard_id", "'2345-01-01T00:00:00' AS date_created",
+        "'2345-02-02T00:00:00' AS date_modified", "'s' AS source_name",
+        "'sl' AS source_config_label", "'u1' AS source_unique_id",
+    )
+    sv2 = engine.derive(meta_cards, "sharev2_elastic").collect()
+    assert json.loads(sv2[0]["derived_json"])["title"] == "T1"
+    with _pytest.raises(ValueError, match="unknown deriver"):
+        engine.derive(cards, "nope")
