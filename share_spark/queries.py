@@ -314,18 +314,15 @@ def _total_saturating(spark, sf_dir):
     )
 
 
-def _running_value_sum(spark, sf_dir):
-    """Windowed running aggregate per user over the event stream."""
-    ev = _t(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy(F.asc("ts"), F.asc("event_id"))
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    return (
-        ev.withColumn("running_value", F.round(F.sum("value").over(w), 4))
-        .filter(F.col("user_id") < 20)
-        .select("user_id", "event_id", "running_value")
+def _doc_pack(spark, sf_dir):
+    """Training-sequence document packing (textops.pack_documents): docs in
+    doc_id order laid on a global token tape, pack = the 512-token block
+    the doc STARTS in — a distributed prefix sum (bucketed running sums +
+    broadcast bucket offsets, no global window). Supersedes the former
+    running_value_sum inline twin (same window-function machinery,
+    exercised on a first-class LLM-pipeline operator)."""
+    return textops.pack_documents(
+        _t(spark, sf_dir, "documents"), budget_tokens=512
     )
 
 
@@ -1187,7 +1184,7 @@ QUERIES = {
     "feed_recent": _feed_recent,
     "latest_event_per_user": _latest_event_per_user,
     "total_saturating": _total_saturating,
-    "running_value_sum": _running_value_sum,
+    "doc_pack": _doc_pack,
     # dedup / text pipeline
     "dedup_fingerprint": _dedup_fingerprint,
     "fingerprint_winnow": _fingerprint_winnow,
@@ -1653,13 +1650,24 @@ ORACLES = {
                CASE WHEN count(*) > 10000 THEN 'gte' ELSE 'eq' END AS relation
         FROM lineitem
     """,
-    "running_value_sum": """
-        SELECT user_id, event_id,
-               round(sum(value) OVER (PARTITION BY user_id
-                     ORDER BY ts, event_id
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
-                 AS running_value
-        FROM events WHERE user_id < 20
+    "doc_pack": """
+        WITH toks AS (
+          SELECT doc_id,
+                 CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+                   AS BIGINT) AS n_tokens
+          FROM documents
+        ),
+        c AS (
+          SELECT doc_id, n_tokens,
+                 sum(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_tokens AS start
+          FROM toks
+        )
+        SELECT doc_id, n_tokens,
+               CAST(start // 512 AS BIGINT) AS pack_id,
+               CAST(start AS BIGINT) AS pack_offset
+        FROM c
     """,
     "dedup_fingerprint":
         "SELECT doc_id, md5(text) AS fingerprint FROM documents",

@@ -453,3 +453,67 @@ def winnow_fingerprints(
         .select("doc_id", "fp")
         .distinct()
     )
+
+
+def pack_documents(
+    docs: DataFrame,
+    budget_tokens: int = 4096,
+    text_col: str = "text",
+    bucket_width: int = 10_000,
+) -> DataFrame:
+    """Assign documents to fixed-token-budget training packs.
+
+    The sequence-packing step of an LLM data pipeline: documents in
+    deterministic doc_id order are laid end to end on a global token tape;
+    a document's pack is the budget-sized tape block its FIRST token falls
+    in (`pack_id = floor(start_offset / budget)`). Every pack holds >= 1
+    whole documents and overflows the budget by at most one document's
+    tokens (downstream token-level chunking handles the boundary doc —
+    the standard approximate-packing contract).
+
+    Scale shape — a distributed prefix sum, no global window:
+      1. per-doc token counts (JVM expressions)
+      2. within-BUCKET running sums (window partitioned by
+         doc_id // bucket_width — bounded partitions, shuffles by bucket)
+      3. bucket offsets via a running sum over the bucket-totals frame
+         (one row per bucket — thousands of rows at 10^9 docs, so the
+         single-partition window there is metadata-sized)
+      4. broadcast-join the offsets back
+    Returns (doc_id, n_tokens, pack_id, pack_offset) where pack_offset is
+    the document's token start within the global tape.
+    """
+    from pyspark.sql import Window
+
+    n_tok = F.size(F.filter(_tokens_col(text_col), lambda t: t != F.lit("")))
+    base = docs.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        (F.col("doc_id") - F.pmod("doc_id", F.lit(bucket_width)))
+        .alias("_bucket"),
+    )
+    in_bucket = Window.partitionBy("_bucket").orderBy("doc_id")
+    local = base.withColumn(
+        "_local_end", F.sum("n_tokens").over(in_bucket)
+    )
+    totals = local.groupBy("_bucket").agg(
+        F.sum("n_tokens").alias("_bucket_total")
+    )
+    over_buckets = Window.orderBy("_bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.withColumn(
+        "_bucket_offset",
+        F.coalesce(F.sum("_bucket_total").over(over_buckets), F.lit(0)),
+    ).select("_bucket", "_bucket_offset")
+    start = (
+        F.col("_bucket_offset") + F.col("_local_end") - F.col("n_tokens")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_bucket")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.floor(start / budget_tokens).cast("long").alias("pack_id"),
+            start.cast("long").alias("pack_offset"),
+        )
+    )

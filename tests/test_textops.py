@@ -212,3 +212,38 @@ def test_winnow_fingerprints_guarantee(spark):
     again = {(r["doc_id"], r["fp"]) for r in
              winnow_fingerprints(docs, k=8, w=4).collect()}
     assert again == {(r["doc_id"], r["fp"]) for r in fps}
+
+
+def test_pack_documents_invariants(docs, spark):
+    """pack_documents: start-based block assignment on the global token
+    tape; packs hold >= 1 whole docs and overflow the budget by < one doc;
+    bucket_width is an implementation knob that must not change output
+    (distributed prefix-sum correctness across bucket boundaries)."""
+    from share_spark.textops import pack_documents
+
+    df, _pdf = docs
+    budget = 12
+    out = {
+        r["doc_id"]: r
+        for r in pack_documents(df, budget_tokens=budget).collect()
+    }
+    # sequential ground truth
+    rows = sorted(out.values(), key=lambda r: r["doc_id"])
+    tape = 0
+    for r in rows:
+        assert r["pack_offset"] == tape
+        assert r["pack_id"] == tape // budget
+        tape += r["n_tokens"]
+    # per-pack: token sum bounded by budget + (boundary doc's tokens - 1)
+    per_pack: dict[int, int] = {}
+    for r in rows:
+        per_pack[r["pack_id"]] = per_pack.get(r["pack_id"], 0) + r["n_tokens"]
+    max_doc = max(r["n_tokens"] for r in rows)
+    assert all(v < budget + max_doc for v in per_pack.values())
+    assert len(per_pack) > 1  # fixture actually spans packs
+    # bucket width must be output-invariant
+    alt = {
+        r["doc_id"]: (r["pack_id"], r["pack_offset"])
+        for r in pack_documents(df, budget_tokens=budget, bucket_width=3).collect()
+    }
+    assert alt == {d: (r["pack_id"], r["pack_offset"]) for d, r in out.items()}
