@@ -517,3 +517,69 @@ def pack_documents(
             start.cast("long").alias("pack_offset"),
         )
     )
+
+
+def repetition_metrics(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Repetition-based quality signals (the Gopher-style heuristics, Rae
+    et al. 2021 appendix A1.1 — published method): documents dominated by
+    repeated lines or a single repeated n-gram are boilerplate/spam.
+
+    Returns (doc_id, dup_line_frac, top_bigram_frac, top_trigram_frac):
+      dup_line_frac    fraction of lines that repeat an earlier line
+      top_{n}gram_frac occurrences of the most frequent word {n}-gram over
+                       all {n}-grams of the doc
+
+    Scale shape: line metrics are per-row array expressions (codegen); the
+    n-gram mode needs a per-(doc, gram) count — explode + two-stage
+    aggregation with map-side partial counts, shuffle keyed by (doc_id,
+    gram) (uniform; no skew: a gram's rows never leave its doc's key)."""
+    lines = F.filter(
+        F.split(F.col(text_col), r"\n"), lambda ln: ln != F.lit("")
+    )
+    n_lines = F.size(lines)
+    dup_line_frac = F.when(
+        n_lines > 0,
+        F.round(
+            (n_lines - F.size(F.array_distinct(lines)))
+            / n_lines.cast("double"),
+            4,
+        ),
+    ).otherwise(F.lit(0.0))
+    base = docs.select(
+        "doc_id", F.col(text_col).alias("_t"), dup_line_frac.alias("dup_line_frac")
+    )
+
+    def top_frac(n: int, out_col: str) -> DataFrame:
+        toks = F.filter(F.split(F.col("_t"), r"\s+"), lambda t: t != F.lit(""))
+        grams = F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        exploded = base.select(
+            "doc_id", F.explode(grams).alias("_g")
+        )
+        return (
+            exploded.groupBy("doc_id", "_g")
+            .agg(F.count("*").alias("_c"))
+            .groupBy("doc_id")
+            .agg(
+                F.round(
+                    F.max("_c") / F.sum("_c").cast("double"), 4
+                ).alias(out_col)
+            )
+        )
+
+    out = (
+        base.select("doc_id", "dup_line_frac")
+        .join(top_frac(2, "top_bigram_frac"), "doc_id", "left")
+        .join(top_frac(3, "top_trigram_frac"), "doc_id", "left")
+    )
+    return out.select(
+        "doc_id",
+        "dup_line_frac",
+        F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
+        F.coalesce("top_trigram_frac", F.lit(0.0)).alias("top_trigram_frac"),
+    )

@@ -247,3 +247,25 @@ def test_pack_documents_invariants(docs, spark):
         for r in pack_documents(df, budget_tokens=budget, bucket_width=3).collect()
     }
     assert alt == {d: (r["pack_id"], r["pack_offset"]) for d, r in out.items()}
+
+
+def test_repetition_metrics(spark):
+    """Gopher-style repetition signals: duplicate-line fraction and
+    most-frequent-n-gram dominance."""
+    from share_spark.textops import repetition_metrics
+
+    rows = [
+        (0, "a b a b a b"),          # bigram 'a b' = 3 of 5 bigrams
+        (1, "all words differ here completely"),
+        (2, "x x x\nx x x\ny y y"),  # 1 of 3 lines repeats
+        (3, "one"),                  # too short for bigrams
+        (4, "p q r p q r p q r"),    # trigram 'p q r' 3 of 7
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in repetition_metrics(df).collect()}
+    assert got[0]["top_bigram_frac"] == 0.6
+    assert got[1]["top_bigram_frac"] == 0.25  # 4 bigrams, all unique
+    assert got[1]["dup_line_frac"] == 0.0
+    assert got[2]["dup_line_frac"] == round(1 / 3, 4)
+    assert got[3]["top_bigram_frac"] == 0.0 and got[3]["top_trigram_frac"] == 0.0
+    assert got[4]["top_trigram_frac"] == round(3 / 7, 4)
