@@ -130,8 +130,12 @@ def canonical_docs(
     deterministic tie-break; with no prefer_col, the minimum doc_id wins
     (== the cluster_id itself, by construction of connected_components).
 
-    Shape: one left join (cluster labels) + one groupBy(cluster) max_by —
-    partial-aggregated, no window over the full corpus.
+    Shape: cluster-keyed groupBy aggregations only — partial-aggregated,
+    no window over the full corpus.  Works for ANY orderable doc-id type
+    (long, string, ...): the winner is picked as "max preference, then
+    min doc_id among the tied", expressed as two groupBys instead of a
+    single max_by over a mixed-direction struct (which would need id
+    negation and therefore a numeric id).
     """
     ids = docs.select(F.col(id_col).alias("doc_id"), *(
         [F.col(prefer_col).alias("_pref")] if prefer_col else []
@@ -142,11 +146,18 @@ def canonical_docs(
         *([F.col("_pref")] if prefer_col else []),
     )
     if prefer_col:
-        winner_key = F.struct(
-            F.col("_pref").alias("p"), (-F.col("doc_id")).alias("d")
+        # stage 1: per-cluster best preference (max ignores nulls; a
+        # cluster whose prefs are ALL null gets _maxp = null, matched
+        # below with eqNullSafe so it still elects a winner by min id)
+        maxp = labeled.groupBy("cluster_id").agg(
+            F.max("_pref").alias("_maxp")
         )
-        winners = labeled.groupBy("cluster_id").agg(
-            F.max_by("doc_id", winner_key).alias("keep_id")
+        # stage 2: min doc_id among the rows tied at the best preference
+        winners = (
+            labeled.join(maxp, "cluster_id")
+            .where(F.col("_pref").eqNullSafe(F.col("_maxp")))
+            .groupBy("cluster_id")
+            .agg(F.min("doc_id").alias("keep_id"))
         )
     else:
         winners = labeled.groupBy("cluster_id").agg(

@@ -192,6 +192,11 @@ class OaiRepository:
     admin_email: str = "share-support@example.example"
     granularity: str = "YYYY-MM-DD"
     now: datetime | None = None  # injectable for golden tests
+    # memoized earliestDatestamp: Identify is a rare verb but the min()
+    # is a full table scan — at scale that must run at most once per
+    # repository instance, not once per request.  Wrapped in a list so
+    # "not computed yet" is distinguishable from "computed, empty table".
+    _earliest_memo: list = dc_field(default_factory=list, repr=False)
 
     # -- identifiers ----------------------------------------------------
 
@@ -233,9 +238,11 @@ class OaiRepository:
     # -- verb handlers ----------------------------------------------------
 
     def _do_identify(self, kwargs):
-        earliest = (
-            self.cards.agg(F.min("datestamp").alias("d")).collect()[0]["d"]
-        )
+        if not self._earliest_memo:
+            self._earliest_memo.append(
+                self.cards.agg(F.min("datestamp").alias("d")).collect()[0]["d"]
+            )
+        earliest = self._earliest_memo[0]
         sample = self.oai_identifier("0")
         parts = [
             "<Identify>",

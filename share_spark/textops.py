@@ -282,6 +282,11 @@ def simhash(docs: DataFrame, bits: int = 32, text_col: str = "text") -> DataFram
     The bit explode multiplies rows by `bits` — fine map-side, no shuffle
     until the final per-doc groupBy.
     """
+    if not 1 <= bits <= 52:
+        # the fingerprint is reassembled via pow(2.0, bit), exact only
+        # while 2^bit fits a double's 52-bit mantissa — reject silently
+        # lossy configurations instead of producing corrupt fingerprints
+        raise ValueError(f"simhash bits must be in [1, 52], got {bits}")
     toks = token_set(docs, text_col).withColumn(
         "th", F.conv(F.substring(F.md5("token"), 1, 15), 16, 10).cast("long")
     )

@@ -102,3 +102,38 @@ def test_canonical_without_prefer_uses_min_id(spark):
     )
     out = {r.doc_id: r for r in canonical_docs(docs, clusters).collect()}
     assert out[8].keep and not out[9].keep and out[7].keep
+
+
+def test_canonical_string_ids_and_null_prefs(spark):
+    """String doc ids must work (no numeric-negation tie-break), and a
+    cluster whose preferences are ALL null still elects min-id winner."""
+    docs = spark.createDataFrame(
+        [("b", 10), ("a", 10), ("c", 99), ("x", None), ("y", None)],
+        "doc_id string, quality long",
+    )
+    clusters = connected_components(
+        spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("x", "y")], "doc_a string, doc_b string"
+        )
+    )
+    out = {r.doc_id: r for r in canonical_docs(
+        docs, clusters, prefer_col="quality"
+    ).collect()}
+    # cluster {a,b,c}: c wins on quality 99
+    assert out["c"].keep and not out["a"].keep and not out["b"].keep
+    assert out["a"].cluster_id == "a"
+    # cluster {x,y}: all-null prefs -> min id "x" wins
+    assert out["x"].keep and not out["y"].keep
+
+
+def test_canonical_mixed_null_pref_loses(spark):
+    docs = spark.createDataFrame(
+        [(1, None), (2, 5)], "doc_id long, quality long"
+    )
+    clusters = connected_components(
+        spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    )
+    out = {r.doc_id: r for r in canonical_docs(
+        docs, clusters, prefer_col="quality"
+    ).collect()}
+    assert out[2].keep and not out[1].keep

@@ -52,6 +52,27 @@ def test_identify(repo):
     assert "<sampleIdentifier>oai:share.example:0</sampleIdentifier>" in xml
 
 
+def test_identify_caches_earliest_datestamp(repo):
+    """The min(datestamp) scan must run at most once per repository
+    instance — a second Identify serves from the memo with no Spark job."""
+    fresh = OaiRepository(
+        repo.cards, now=datetime(2002, 2, 2, tzinfo=timezone.utc)
+    )
+    first = _req(fresh, verb="Identify")
+    calls = []
+    real_agg = fresh.cards.agg
+    fresh.cards = type(
+        "Spy", (),
+        {"agg": lambda self, *a, **k: calls.append(1) or real_agg(*a, **k)},
+    )()
+    second = _req(fresh, verb="Identify")
+    assert calls == []  # no new aggregation job issued
+    assert (
+        "<earliestDatestamp>2001-01-01T12:00:00Z</earliestDatestamp>" in second
+    )
+    assert first == second
+
+
 def test_list_metadata_formats_and_sets(repo):
     xml = _req(repo, verb="ListMetadataFormats")
     assert "<metadataPrefix>oai_dc</metadataPrefix>" in xml

@@ -269,3 +269,10 @@ def test_repetition_metrics(spark):
     assert got[2]["dup_line_frac"] == round(1 / 3, 4)
     assert got[3]["top_bigram_frac"] == 0.0 and got[3]["top_trigram_frac"] == 0.0
     assert got[4]["top_trigram_frac"] == round(3 / 7, 4)
+
+
+def test_simhash_rejects_lossy_bits(docs):
+    with pytest.raises(ValueError, match=r"\[1, 52\]"):
+        textops.simhash(docs, bits=64)
+    with pytest.raises(ValueError):
+        textops.simhash(docs, bits=0)
