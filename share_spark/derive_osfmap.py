@@ -134,6 +134,48 @@ def derive_osfmap_card(
     )
 
 
+# the mini variant's default predicate blocklist (the reference's
+# EXCLUDED_PREDICATE_SET, trove/derive/osfmap_json_mini.py:10-12: only
+# osfmap:contains — the file-hierarchy fanout predicate, which is what
+# bloats full cards)
+MINI_EXCLUDED_PREDICATES = frozenset(
+    {"https://osf.io/vocab/2022/contains"}
+)
+
+
+def prune_tripledict(
+    tripledict: dict, excluded: frozenset[str]
+) -> dict:
+    """The mini deriver's convert_tripledict
+    (trove/derive/osfmap_json_mini.py:24-37): drop excluded predicates,
+    then drop any subject whose description becomes empty."""
+    pruned = {}
+    for subj, twopledict in tripledict.items():
+        kept = {
+            pred: objset
+            for pred, objset in twopledict.items()
+            if pred not in excluded
+        }
+        if kept:
+            pruned[subj] = kept
+    return pruned
+
+
+def derive_osfmap_card_mini(
+    tripledict: dict,
+    focus_iri: str,
+    shorthand: dict[str, str] | None = None,
+    functional: frozenset[str] = frozenset(),
+    excluded: frozenset[str] = MINI_EXCLUDED_PREDICATES,
+) -> str:
+    """osfmap_json_mini: identical rendering to the full deriver over a
+    predicate-pruned graph (trove/derive/osfmap_json_mini.py:16-37)."""
+    return derive_osfmap_card(
+        prune_tripledict(tripledict, excluded), focus_iri, shorthand,
+        functional,
+    )
+
+
 OSFMAP_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -149,14 +191,20 @@ def derive_osfmap_json(
     focus_col: str = "focus_iri",
     shorthand: dict[str, str] | None = None,
     functional: frozenset[str] = frozenset(),
+    excluded: frozenset[str] = frozenset(),
 ) -> DataFrame:
     """Vectorized deriver: (doc_id, focus_iri, turtle) -> (doc_id,
     derived_json). Embarrassingly parallel per-card mapInPandas, no
     shuffle; output keys a derived-cards table (the osfmap_json derivation
     whose existence gates indexing in the reference,
-    _trovesearch_util.py:52-60)."""
+    _trovesearch_util.py:52-60).
+
+    `excluded`: predicate IRIs pruned from every card's graph before
+    rendering — empty for the full deriver; the mini variant passes
+    MINI_EXCLUDED_PREDICATES (see derive_osfmap_json_mini)."""
     sh = dict(shorthand or {})
     fn = frozenset(functional)
+    ex = frozenset(excluded)
 
     def _derive(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -165,6 +213,8 @@ def derive_osfmap_json(
                 pdf["doc_id"], pdf[focus_col], pdf[turtle_col]
             ):
                 td, prefixes = parse_turtle(turtle)
+                if ex:
+                    td = prune_tripledict(td, ex)
                 # turtle @prefix declarations double as the compaction
                 # vocabulary unless the caller supplies one
                 ids.append(int(doc_id))
@@ -177,3 +227,16 @@ def derive_osfmap_json(
     return cards.select("doc_id", focus_col, turtle_col).mapInPandas(
         _derive, schema=OSFMAP_SCHEMA
     )
+
+
+def derive_osfmap_json_mini(
+    cards: DataFrame,
+    *,
+    excluded: frozenset[str] = MINI_EXCLUDED_PREDICATES,
+    **kw,
+) -> DataFrame:
+    """osfmap_json_mini deriver (trove/derive/osfmap_json_mini.py): the
+    full nested-JSON-LD rendering over a graph with the excluded
+    predicates (default osfmap:contains) pruned, emptied subjects
+    dropped.  Same (doc_id, derived_json) schema as the full deriver."""
+    return derive_osfmap_json(cards, excluded=excluded, **kw)

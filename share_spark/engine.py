@@ -179,6 +179,7 @@ class SearchEngine:
         'sharev2_elastic' -> (doc_id, derived_json)   [needs CardMeta cols]
         'oai_dc'          -> (doc_id, metadata_xml)
         'osfmap_json'     -> (doc_id, derived_json)
+        'osfmap_json_mini'-> (doc_id, derived_json)  [contains-pruned]
         Input: (doc_id, focus_iri, turtle [, meta columns])."""
         if deriver == "sharev2_elastic":
             from .derive_sharev2 import derive_sharev2_elastic
@@ -192,6 +193,10 @@ class SearchEngine:
             from .derive_osfmap import derive_osfmap_json
 
             return derive_osfmap_json(turtle_cards, **kw)
+        if deriver == "osfmap_json_mini":
+            from .derive_osfmap import derive_osfmap_json_mini
+
+            return derive_osfmap_json_mini(turtle_cards, **kw)
         raise ValueError(f"unknown deriver: {deriver}")
 
     # -- outbound renderers ---------------------------------------------------

@@ -148,3 +148,80 @@ def test_engine_deriver_registry_dispatch(spark, tmp_path):
     assert json.loads(sv2[0]["derived_json"])["title"] == "T1"
     with _pytest.raises(ValueError, match="unknown deriver"):
         engine.derive(cards, "nope")
+
+
+OSFMAP = "https://osf.io/vocab/2022/"
+
+
+def test_mini_prunes_contains_and_emptied_subjects():
+    """osfmap_json_mini (trove/derive/osfmap_json_mini.py:24-37): drop
+    osfmap:contains triples, then drop subjects left with no predicates —
+    their referencing objects degrade to bare @id leaves."""
+    from share_spark.derive_osfmap import derive_osfmap_card_mini
+
+    td = {
+        "://f": {
+            DCT + "title": {Literal("T")},
+            OSFMAP + "contains": {"://f/file1"},
+            DCT + "creator": {"://a/1"},
+        },
+        # described ONLY via contains: emptied -> dropped entirely
+        "://f/file1": {OSFMAP + "contains": {"://f/file1/sub"}},
+        "://a/1": {FOAF + "name": {Literal("A")}},
+    }
+    short = dict(SHORT, osfmap=OSFMAP)
+    full = json.loads(derive_osfmap_card(td, "://f", short))
+    mini = json.loads(derive_osfmap_card_mini(td, "://f", short))
+    assert "osfmap:contains" in full
+    assert "osfmap:contains" not in mini
+    # untouched predicates render identically to the full deriver
+    assert mini["dcterms:title"] == full["dcterms:title"]
+    assert mini["dcterms:creator"] == full["dcterms:creator"]
+    assert set(mini) == {"@id", "dcterms:title", "dcterms:creator"}
+
+
+def test_mini_focus_pruned_to_bare_reference():
+    from share_spark.derive_osfmap import derive_osfmap_card_mini
+
+    td = {"://f": {OSFMAP + "contains": {"://f/x"}}}
+    got = json.loads(
+        derive_osfmap_card_mini(td, "://f", {"osfmap": OSFMAP})
+    )
+    assert got == {"@id": "://f"}
+
+
+def test_spark_mini_and_registry_dispatch(spark, tmp_path):
+    from share_spark.derive_osfmap import derive_osfmap_json_mini
+    from share_spark.engine import SearchEngine
+    from share_spark.index.build import IndexConfig
+
+    rows = [
+        (
+            i,
+            f"https://card.example/{i}",
+            "@prefix dcterms: <http://purl.org/dc/terms/> . "
+            "@prefix osfmap: <https://osf.io/vocab/2022/> . "
+            f'<https://card.example/{i}> dcterms:title "Doc {i}" ; '
+            f"osfmap:contains <https://card.example/{i}/f> . "
+            f'<https://card.example/{i}/f> dcterms:title "File {i}" . ',
+        )
+        for i in range(3)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, focus_iri string, turtle string"
+    )
+    out = {r["doc_id"]: json.loads(r["derived_json"])
+           for r in derive_osfmap_json_mini(df).collect()}
+    assert set(out) == {0, 1, 2}
+    assert "osfmap:contains" not in out[1]
+    assert out[1]["dcterms:title"] == [{"@value": "Doc 1"}]
+    # engine registry dispatch
+    pages = spark.createDataFrame(
+        [(1, "https://c/1", "one doc")], "doc_id long, url string, text string"
+    )
+    engine = SearchEngine.build(
+        spark, pages, str(tmp_path / "idx_mini"), IndexConfig(block_size=32)
+    )
+    via_engine = {r["doc_id"]: r["derived_json"]
+                  for r in engine.derive(df, "osfmap_json_mini").collect()}
+    assert json.loads(via_engine[2])["dcterms:title"] == [{"@value": "Doc 2"}]
