@@ -28,6 +28,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -196,6 +197,84 @@ def compact(
     return manifest
 
 
+@dataclass(frozen=True)
+class CompactionPolicy:
+    """When to fold generations back into a single segment — the analog of
+    the reference's backfill-then-promote lifecycle
+    (share/models/index_backfill.py:35-146) made automatic, and of
+    Lucene's TieredMergePolicy trigger conditions.
+
+    Every un-compacted generation costs queries one extra set of parquet
+    footer opens plus a tombstone cogroup; dead docs inflate df/N.  Both
+    trigger inputs are DRIVER-SIDE METADATA ONLY (manifest generation
+    list + parquet footer row counts) — the decision itself never runs a
+    Spark job, so checking after every micro-batch is free.
+
+    max_generations: compact when the live generation count exceeds this.
+    max_tombstone_frac: ... or when tombstoned docs / total indexed docs
+        exceeds this (dead-doc bloat: wasted scan + stale corpus stats).
+    """
+
+    max_generations: int = 8
+    max_tombstone_frac: float = 0.25
+
+
+def _tombstone_rows(index_dir: str) -> int:
+    """Row count of the tombstone table from parquet footers only."""
+    tomb_path = os.path.join(index_dir, "tombstones")
+    if not os.path.exists(tomb_path):
+        return 0
+    import pyarrow.parquet as pq
+
+    total = 0
+    for name in os.listdir(tomb_path):
+        if name.endswith(".parquet"):
+            total += pq.ParquetFile(
+                os.path.join(tomb_path, name)
+            ).metadata.num_rows
+    return total
+
+
+def should_compact(
+    index_dir: str, policy: CompactionPolicy
+) -> str | None:
+    """The policy decision: a human-readable reason, or None to skip."""
+    gens = _manifest(index_dir)["generations"]
+    if len(gens) > policy.max_generations:
+        return (
+            f"{len(gens)} generations > max_generations="
+            f"{policy.max_generations}"
+        )
+    n_docs = 0
+    for g in gens:
+        with open(os.path.join(index_dir, f"gen{g}", "manifest.json")) as f:
+            n_docs += json.load(f)["n_docs"]
+    n_tomb = _tombstone_rows(index_dir)
+    if n_docs and n_tomb / n_docs > policy.max_tombstone_frac:
+        return (
+            f"tombstone fraction {n_tomb}/{n_docs} = "
+            f"{n_tomb / n_docs:.3f} > max_tombstone_frac="
+            f"{policy.max_tombstone_frac}"
+        )
+    return None
+
+
+def maybe_compact(
+    spark: SparkSession,
+    index_dir: str,
+    policy: CompactionPolicy,
+    cfg: IndexConfig | None = None,
+) -> dict | None:
+    """Run compact() iff the policy says so; returns the new gen0 manifest
+    when compaction fired, else None."""
+    reason = should_compact(index_dir, policy)
+    if reason is None:
+        return None
+    manifest = compact(spark, index_dir, cfg)
+    manifest["compacted_because"] = reason
+    return manifest
+
+
 def watch_incremental(
     spark: SparkSession,
     pages_stream_dir: str,
@@ -203,16 +282,29 @@ def watch_incremental(
     checkpoint_dir: str,
     cfg: IndexConfig | None = None,
     schema=None,
+    compaction: CompactionPolicy | None = None,
+    max_files_per_trigger: int | None = None,
 ):
     """Structured Streaming wiring: file-source micro-batches -> generations.
 
     Each micro-batch calls apply_incremental with generation = base + batch
     id (idempotent on replay: rebuilding a generation overwrites it).
-    Returns the StreamingQuery; caller owns awaitTermination/stop."""
+    With a CompactionPolicy, each batch commit is followed by a free
+    metadata-only policy check and, when triggered, an atomic compact() —
+    generation numbering stays monotonic across the swap (gen = base +
+    batch id regardless of what compaction collapsed), so replays remain
+    idempotent.  Returns the StreamingQuery; caller owns
+    awaitTermination/stop."""
     cfg = cfg or IndexConfig()
     base_gen = max(_manifest(index_dir)["generations"]) + 1
 
-    stream = spark.readStream.schema(schema).parquet(pages_stream_dir)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        # bound each micro-batch (the reference drains its queue in
+        # 2000-message chunks, share/search/daemon.py) — availableNow
+        # still processes ALL pending input, just split across batches
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(pages_stream_dir)
 
     def _on_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -220,6 +312,8 @@ def watch_incremental(
         apply_incremental(
             spark, index_dir, batch_df, cfg, generation=base_gen + int(batch_id)
         )
+        if compaction is not None:
+            maybe_compact(spark, index_dir, compaction, cfg)
 
     return (
         stream.writeStream.foreachBatch(_on_batch)

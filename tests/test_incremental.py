@@ -191,3 +191,84 @@ def test_two_phase_bounds_survive_avgdl_drift(spark, tmp_path):
             for r in wand_topk(idx, q, k=15, first_batch_chunks=1).collect()
         ]
         assert pruned == exact, q
+
+
+def test_auto_compact_generation_trigger(spark, base_index):
+    """~10 micro-batches with max_generations=4: compaction must fire
+    (at least once), keep the live generation count bounded, and leave
+    query results identical to never-compacted semantics."""
+    from share_spark.streaming.incremental import (
+        CompactionPolicy,
+        maybe_compact,
+        should_compact,
+    )
+
+    d, pages = base_index
+    policy = CompactionPolicy(max_generations=4, max_tombstone_frac=1e9)
+    fired = []
+    for i in range(10):
+        changed = pages.iloc[[i]].copy()
+        changed["text"] = f"generational wombat batch{i}"
+        changed["html"] = None
+        apply_incremental(spark, d, spark.createDataFrame(changed), CFG)
+        m = maybe_compact(spark, d, policy, CFG)
+        if m is not None:
+            fired.append(m["compacted_because"])
+        gens = IndexReader.open(spark, d).manifest["generations"]
+        assert len(gens) <= policy.max_generations + 1
+    assert fired and "max_generations" in fired[0]
+    idx = IndexReader.open(spark, d)
+    assert _hits(idx, "wombat") == {int(pages.iloc[i].doc_id) for i in range(10)}
+    # post-compact, once under threshold the policy stays quiet
+    if len(idx.manifest["generations"]) <= policy.max_generations:
+        assert should_compact(d, policy) is None
+
+
+def test_auto_compact_tombstone_trigger(spark, base_index):
+    """Replacing >25% of the corpus in micro-batches trips the
+    tombstone-fraction trigger even while generation count is small."""
+    from share_spark.streaming.incremental import (
+        CompactionPolicy,
+        maybe_compact,
+    )
+
+    d, pages = base_index
+    policy = CompactionPolicy(max_generations=100, max_tombstone_frac=0.25)
+    changed = pages.iloc[: len(pages) // 2].copy()
+    changed["text"] = "replacement armadillo corpus"
+    changed["html"] = None
+    apply_incremental(spark, d, spark.createDataFrame(changed), CFG)
+    m = maybe_compact(spark, d, policy, CFG)
+    assert m is not None and "tombstone fraction" in m["compacted_because"]
+    idx = IndexReader.open(spark, d)
+    assert idx.manifest["generations"] == [0]
+    assert len(_hits(idx, "armadillo")) == len(changed)
+
+
+def test_streaming_auto_compact_multibatch(spark, base_index, tmp_path):
+    """watch_incremental with a policy: one file per micro-batch, several
+    batches, auto-compact keeps generations bounded while every batch's
+    content stays searchable."""
+    from share_spark.streaming.incremental import CompactionPolicy
+
+    d, pages = base_index
+    stream_dir = str(tmp_path / "stream_multi")
+    ckpt = str(tmp_path / "ckpt_multi")
+    sdf = None
+    for i in range(6):
+        new = pages.iloc[[i]].copy()
+        new["text"] = f"streamed capybara batch{i}"
+        new["html"] = None
+        sdf = spark.createDataFrame(new)
+        sdf.coalesce(1).write.mode("append").parquet(stream_dir)
+    q = watch_incremental(
+        spark, stream_dir, d, ckpt, CFG, schema=sdf.schema,
+        compaction=CompactionPolicy(max_generations=2, max_tombstone_frac=1e9),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(300)
+    idx = IndexReader.open(spark, d)
+    assert len(idx.manifest["generations"]) <= 3
+    assert _hits(idx, "capybara") == {
+        int(pages.iloc[i].doc_id) for i in range(6)
+    }
