@@ -2,9 +2,11 @@
 
 Image/audio/video payloads are opaque `binary` columns with a typed metadata
 struct; decode / feature-extract / resize / frame-sample run as Arrow-batched
-pandas UDFs via mapInPandas. The decode kernels are STUBBED (codec libraries
-are not in this container — see `decode_image`), but the Spark-side plumbing
-(schemas, batch iteration, partitioning, UDF signatures) is real and tested.
+pandas UDFs via mapInPandas. PNG decodes for real (stdlib zlib + numpy,
+`decode_png`) as does the deterministic SPPM test codec; jpeg/webp remain
+STUBBED (codec libraries are not in this container — see `decode_image`),
+with all Spark-side plumbing (schemas, batch iteration, partitioning, UDF
+signatures) real and tested.
 
 Schema convention:
   media(media_id long, kind string, payload binary,
@@ -66,12 +68,188 @@ def encode_sppm(pixels) -> bytes:
     return SPPM_MAGIC + struct.pack("<HHB", w, h, c) + a.tobytes()
 
 
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunks(payload: bytes):
+    import struct
+
+    pos = 8
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) != length:
+            raise ValueError("truncated PNG chunk")
+        yield ctype, data
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IEND":
+            return
+
+
+def decode_png(payload: bytes):
+    """Pure stdlib-zlib + numpy PNG decoder -> (h, w, c) uint8.
+
+    Supports the dominant web cases: bit depth 8, color types 0 (gray),
+    2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA), non-interlaced, all
+    five scanline filters (None/Sub/Up/Average/Paeth).  Filters 0/1/2
+    unfilter vectorized (Sub is a per-lane uint8 cumsum — mod-256 wrap is
+    exactly PNG's arithmetic); Average/Paeth have a true sequential
+    dependency along x, so those rows fall back to a byte loop.
+    Interlaced / 16-bit inputs raise NotImplementedError (honest bound,
+    not a silent misdecode)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    width = height = None
+    channels = 0
+    palette = None
+    idat = bytearray()
+    for ctype, data in _png_chunks(payload):
+        if ctype == b"IHDR":
+            width, height, depth, color, comp, filt, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+            if depth != 8:
+                raise NotImplementedError(f"PNG bit depth {depth} (only 8)")
+            if interlace != 0:
+                raise NotImplementedError("interlaced PNG")
+            if comp != 0 or filt != 0:
+                raise ValueError("invalid PNG compression/filter method")
+            channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+            if channels is None:
+                raise ValueError(f"invalid PNG color type {color}")
+            color_type = color
+        elif ctype == b"PLTE":
+            palette = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.extend(data)
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    rowbytes = width * channels
+    if raw.size != height * (rowbytes + 1):
+        raise ValueError("PNG scanline data size mismatch")
+    raw = raw.reshape(height, rowbytes + 1)
+    out = np.empty((height, rowbytes), dtype=np.uint8)
+    bpp = channels  # bytes per pixel at depth 8
+    prev = np.zeros(rowbytes, dtype=np.uint8)
+    for y in range(height):
+        ftype = int(raw[y, 0])
+        cur = raw[y, 1:]
+        if ftype == 0:
+            recon = cur.copy()
+        elif ftype == 1:  # Sub: lane-wise cumsum, uint8 wrap == mod 256
+            recon = np.empty(rowbytes, dtype=np.uint8)
+            for lane in range(bpp):
+                recon[lane::bpp] = np.cumsum(cur[lane::bpp], dtype=np.uint8)
+        elif ftype == 2:  # Up
+            recon = cur + prev
+        elif ftype in (3, 4):  # Average / Paeth: sequential along x
+            recon = np.empty(rowbytes, dtype=np.uint8)
+            for x in range(rowbytes):
+                a = int(recon[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                if ftype == 3:
+                    pred = (a + b) >> 1
+                else:
+                    c = int(prev[x - bpp]) if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    if pa <= pb and pa <= pc:
+                        pred = a
+                    elif pb <= pc:
+                        pred = b
+                    else:
+                        pred = c
+                recon[x] = (int(cur[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"invalid PNG filter type {ftype}")
+        out[y] = recon
+        prev = recon
+    img = out.reshape(height, width, channels)
+    if color_type == 3:
+        if palette is None:
+            raise ValueError("palette PNG missing PLTE")
+        img = palette[img[:, :, 0]]
+    return img
+
+
+def encode_png(pixels, filter_type: int = 0) -> bytes:
+    """Minimal PNG encoder (tests + round-trips): depth 8, gray/RGB/
+    gray-alpha/RGBA by channel count, one filter type for all scanlines."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    a = np.ascontiguousarray(pixels, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, c = a.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    bpp = c
+
+    def _filter_row(cur, prev):
+        cur16 = cur.astype(np.int16)
+        if filter_type == 0:
+            return cur
+        if filter_type == 1:
+            left = np.concatenate([np.zeros(bpp, np.int16), cur16[:-bpp]])
+            return ((cur16 - left) & 0xFF).astype(np.uint8)
+        if filter_type == 2:
+            return ((cur16 - prev.astype(np.int16)) & 0xFF).astype(np.uint8)
+        if filter_type == 3:
+            left = np.concatenate([np.zeros(bpp, np.int16), cur16[:-bpp]])
+            return (
+                (cur16 - ((left + prev.astype(np.int16)) >> 1)) & 0xFF
+            ).astype(np.uint8)
+        if filter_type == 4:
+            outb = np.empty(len(cur), dtype=np.uint8)
+            for x in range(len(cur)):
+                av = int(cur[x - bpp]) if x >= bpp else 0
+                bv = int(prev[x])
+                cv = int(prev[x - bpp]) if x >= bpp else 0
+                p = av + bv - cv
+                pa, pb, pc = abs(p - av), abs(p - bv), abs(p - cv)
+                pred = av if (pa <= pb and pa <= pc) else (bv if pb <= pc else cv)
+                outb[x] = (int(cur[x]) - pred) & 0xFF
+            return outb
+        raise ValueError(f"invalid filter type {filter_type}")
+
+    flat = a.reshape(h, w * c)
+    scan = bytearray()
+    prev = np.zeros(w * c, dtype=np.uint8)
+    for y in range(h):
+        scan.append(filter_type)
+        scan.extend(_filter_row(flat[y], prev).tobytes())
+        prev = flat[y]
+
+    def _chunk(ctype: bytes, data: bytes) -> bytes:
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        PNG_MAGIC
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(scan)))
+        + _chunk(b"IEND", b"")
+    )
+
+
 def decode_image(payload: bytes):
     """Decode an image payload to an (h, w, c) uint8 array.
 
-    SPPM payloads (the deterministic fake) decode for real; genuine codec
-    formats raise NotImplementedError because PIL/libvips are not in this
-    container — the error names the swap point, it is not a silent fallback.
+    SPPM payloads (the deterministic fake) and PNG (stdlib zlib + numpy,
+    decode_png) decode for real; remaining codec formats (jpeg/webp/...)
+    raise NotImplementedError because PIL/libvips are not in this
+    container — the error names the swap point, it is not a silent
+    fallback.
     """
     import numpy as np
     import struct
@@ -84,9 +262,11 @@ def decode_image(payload: bytes):
         if a.size != w * h * c:
             raise ValueError("truncated SPPM payload")
         return a.reshape(h, w, c)
+    if payload[:8] == PNG_MAGIC:
+        return decode_png(payload)
     raise NotImplementedError(
-        "real codec formats (jpeg/png/...) require PIL/libvips, not in this "
-        "container — swap decode_image's body at deploy time"
+        "jpeg/webp/... require PIL/libvips, not in this container — swap "
+        "decode_image's body at deploy time (png decodes via decode_png)"
     )
 
 
