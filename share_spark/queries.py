@@ -166,6 +166,37 @@ def _serve_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ft_highlight(spark, sf_dir):
+    """Highlight / TextMatchEvidence over the WAND top-k (SURVEY §2 #38):
+    snippet recompute from stored text — flat output, one row per
+    fragment, so the oracle compares plain strings."""
+    from .query.highlight import with_highlights
+
+    idx = _indexed(spark, sf_dir)
+    q = " ".join(BM25_TERMS)
+    out = wand_topk(idx, q, k=BM25_K + 10)
+    res = (
+        out.select("doc_id", F.round("score", 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(BM25_K)
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+            .cast("int"),
+        )
+    )
+    hl = with_highlights(idx, res, q)
+    return (
+        hl.select(
+            "doc_id", "score", "rank",
+            F.posexplode("highlights").alias("fragno", "snippet"),
+        )
+        .withColumn("fragno", (F.col("fragno") + 1).cast("int"))
+        .orderBy("rank", "fragno")
+    )
+
+
 def _ft_and(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     toks = F.split("text", " ")
@@ -494,6 +525,14 @@ def _langid(spark, sf_dir):
     return textops.langid(_t(spark, sf_dir, "documents")).select(
         "doc_id", "lang_pred"
     )
+
+
+def _repetition_metrics(spark, sf_dir):
+    """Gopher A1.1 repetition signals (textops.repetition_metrics):
+    dup-line fraction + most-frequent bi/trigram fraction per doc."""
+    return textops.repetition_metrics(
+        _t(spark, sf_dir, "documents")
+    ).orderBy("doc_id")
 
 
 # ------------------------------------------------------------- similarity
@@ -1168,7 +1207,10 @@ QUERIES = {
     "ft_bm25_serve": _serve_bm25,
     "ft_bm25_topk": _inline_bm25,
     "ft_and_terms": _ft_and,
-    "ft_or_any": _ft_or,
+    # ft_or_any folded out (OR combinator still pytest-covered via wand
+    # tests; _ft_or retained for tests) to hold the 50-entry budget while
+    # ft_highlight gets a driver-oracle row
+    "ft_highlight": _ft_highlight,
     "ft_not": _ft_not,
     "term_stats_top": _term_stats_top,
     "corpus_stats": _corpus_stats,
@@ -1182,7 +1224,9 @@ QUERIES = {
     "paging_offset": _paging_offset,
     "oai_keyset": _oai_keyset,
     "feed_recent": _feed_recent,
-    "latest_event_per_user": _latest_event_per_user,
+    # latest_event_per_user folded out (row_number/max_by shape is also
+    # exercised by sort_int_page + sessionize) for repetition_metrics
+    "repetition_metrics": _repetition_metrics,
     "total_saturating": _total_saturating,
     "doc_pack": _doc_pack,
     # dedup / text pipeline
@@ -1561,11 +1605,79 @@ ORACLES = {
         "list_contains(string_split(text,' '),'window') AND "
         "list_contains(string_split(text,' '),'merge')"
     ),
-    "ft_or_any": (
-        "SELECT doc_id FROM documents WHERE "
-        "list_contains(string_split(text,' '),'spark') OR "
-        "list_contains(string_split(text,' '),'slow')"
-    ),
+    "ft_highlight": f"""
+        WITH toks AS (
+          SELECT doc_id, t AS term
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                FROM documents)
+          WHERE t <> ''
+        ),
+        dls AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+        corpus AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dls),
+        tf AS (
+          SELECT doc_id, term, count(*) AS tf FROM toks
+          WHERE term IN ('spark', 'join', 'stream') GROUP BY doc_id, term
+        ),
+        dfs AS (
+          SELECT term, count(DISTINCT doc_id) AS df FROM toks
+          WHERE term IN ('spark', 'join', 'stream') GROUP BY term
+        ),
+        scored AS (
+          SELECT tf.doc_id,
+                 sum(ln(1 + (n - df + 0.5) / (df + 0.5))
+                     * (tf * {K1 + 1.0})
+                     / (tf + {K1} * (1.0 - {B} + {B} * dl / avgdl))) AS s,
+                 count(*) AS nt
+          FROM tf JOIN dfs USING (term) JOIN dls USING (doc_id)
+          CROSS JOIN corpus
+          GROUP BY tf.doc_id
+        ),
+        sel AS (
+          SELECT doc_id, round(s, 4) AS score,
+                 row_number() OVER (ORDER BY round(s, 4) DESC, doc_id)
+                   ::INTEGER AS rank
+          FROM scored WHERE nt = 3
+          ORDER BY score DESC, doc_id LIMIT {BM25_K}
+        ),
+        dt AS (
+          SELECT doc_id, string_split(text, ' ') AS ts
+          FROM documents JOIN sel USING (doc_id)
+        ),
+        hits AS (
+          SELECT doc_id, u.i AS i
+          FROM dt, unnest(generate_series(1, len(ts))) AS u(i)
+          WHERE ts[i] IN ('spark', 'join', 'stream')
+        ),
+        -- greedy fragment selection, window 8, max 3 fragments: next
+        -- accepted hit must start past the previous fragment's end
+        f1 AS (SELECT doc_id, min(i) AS pos FROM hits GROUP BY doc_id),
+        f2 AS (SELECT h.doc_id, min(h.i) AS pos FROM hits h
+               JOIN f1 ON h.doc_id = f1.doc_id AND h.i > f1.pos + 8
+               GROUP BY h.doc_id),
+        f3 AS (SELECT h.doc_id, min(h.i) AS pos FROM hits h
+               JOIN f2 ON h.doc_id = f2.doc_id AND h.i > f2.pos + 8
+               GROUP BY h.doc_id),
+        fr AS (
+          SELECT doc_id, pos, 1 AS fragno FROM f1
+          UNION ALL SELECT doc_id, pos, 2 FROM f2
+          UNION ALL SELECT doc_id, pos, 3 FROM f3
+        ),
+        frags AS (
+          SELECT fr.doc_id, fr.fragno::INTEGER AS fragno,
+            array_to_string(
+              list_transform(
+                generate_series(greatest(1, fr.pos - 8),
+                                least(len(dt.ts), fr.pos + 8)),
+                j -> CASE WHEN dt.ts[j] IN ('spark', 'join', 'stream')
+                          THEN '<em>' || dt.ts[j] || '</em>'
+                          ELSE dt.ts[j] END
+              ), ' ') AS snippet
+          FROM fr JOIN dt ON fr.doc_id = dt.doc_id
+        )
+        SELECT sel.doc_id, sel.score, sel.rank, frags.fragno, frags.snippet
+        FROM sel JOIN frags ON sel.doc_id = frags.doc_id
+        ORDER BY rank, fragno
+    """,
     "ft_not": (
         "SELECT doc_id FROM documents WHERE "
         "list_contains(string_split(text,' '),'spark') AND NOT "
@@ -1637,13 +1749,46 @@ ORACLES = {
         SELECT event_id, ts, event_type FROM events
         ORDER BY ts DESC, event_id LIMIT 250
     """,
-    "latest_event_per_user": """
-        SELECT user_id, event_id, ts FROM (
-          SELECT user_id, event_id, ts,
-                 row_number() OVER (PARTITION BY user_id
-                                    ORDER BY ts DESC, event_id) AS rn
-          FROM events
-        ) WHERE rn = 1
+    "repetition_metrics": """
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(text, '\\s+'),
+                             t -> t <> '') AS ts,
+                 list_filter(string_split(text, chr(10)),
+                             l -> l <> '') AS ls
+          FROM documents
+        ),
+        g2 AS (
+          SELECT doc_id, ts[i] || ' ' || ts[i+1] AS g
+          FROM toks, unnest(generate_series(1, len(ts) - 1)) AS u(i)
+        ),
+        g3 AS (
+          SELECT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS g
+          FROM toks, unnest(generate_series(1, len(ts) - 2)) AS u(i)
+        ),
+        b2 AS (
+          SELECT doc_id, round(max(c) / sum(c)::DOUBLE, 4) AS top_bigram_frac
+          FROM (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g)
+          GROUP BY doc_id
+        ),
+        b3 AS (
+          SELECT doc_id, round(max(c) / sum(c)::DOUBLE, 4) AS top_trigram_frac
+          FROM (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY doc_id, g)
+          GROUP BY doc_id
+        ),
+        d AS (
+          SELECT doc_id,
+                 CASE WHEN len(ls) > 0
+                      THEN round((len(ls) - len(list_distinct(ls)))
+                                 / len(ls)::DOUBLE, 4)
+                      ELSE 0.0 END AS dup_line_frac
+          FROM toks
+        )
+        SELECT d.doc_id, d.dup_line_frac,
+               coalesce(b2.top_bigram_frac, 0.0) AS top_bigram_frac,
+               coalesce(b3.top_trigram_frac, 0.0) AS top_trigram_frac
+        FROM d LEFT JOIN b2 USING (doc_id) LEFT JOIN b3 USING (doc_id)
+        ORDER BY doc_id
     """,
     "total_saturating": """
         SELECT least(count(*), 10000) AS total,
