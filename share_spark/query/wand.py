@@ -358,6 +358,93 @@ def _make_chunk_scorer(
     return score_chunk
 
 
+_AQE_LOCK = __import__("threading").Lock()
+_AQE_STATE: dict[int, list] = {}  # id(spark) -> [depth, saved_value]
+
+
+class _interactive_conf:
+    """AQE off for the duration of an interactive top-k's actions.
+
+    AQE turns every shuffle into a materialized stage barrier with a
+    re-optimization pass — right for the build's skewed terabyte shuffles,
+    wrong for a top-k that moves kilobytes: measured at 2M docs the same
+    query set runs p50 1.77 s / p95 2.46 s with AQE vs 1.15 / 1.33
+    without. Refcounted per session so concurrent query threads don't
+    restore the flag out from under each other; the build path never
+    touches it."""
+
+    def __init__(self, spark):
+        self.spark = spark
+
+    def __enter__(self):
+        with _AQE_LOCK:
+            st = _AQE_STATE.setdefault(id(self.spark), [0, None])
+            if st[0] == 0:
+                st[1] = self.spark.conf.get(
+                    "spark.sql.adaptive.enabled", "true"
+                )
+                self.spark.conf.set("spark.sql.adaptive.enabled", "false")
+            st[0] += 1
+        return self
+
+    def __exit__(self, *exc):
+        with _AQE_LOCK:
+            st = _AQE_STATE[id(self.spark)]
+            st[0] -= 1
+            if st[0] == 0:
+                self.spark.conf.set(
+                    "spark.sql.adaptive.enabled", st[1] or "true"
+                )
+        return False
+
+
+def _bucketed_kernel(chunk_kernel, empty: pd.DataFrame):
+    """Wrap a per-chunk kernel so it processes a BUCKET of chunks per call.
+
+    groupBy("chunk").applyInPandas pays a fixed per-group cost (one pandas
+    frame + one Python call per group) — negligible at tens of chunks but
+    the dominant query cost once the corpus has hundreds (measured: 245
+    chunks at 2M docs cost ~1.3 s/job in pure per-group overhead, 3-5x the
+    actual decode+score work), and fatal at the 10^8-chunk target scale.
+    Keying the shuffle by pmod(hash(chunk), B) instead bounds the group
+    count by B regardless of corpus size; the wrapper iterates its bucket's
+    chunks via pandas' C-level groupby and concatenates their outputs.
+    Chunk-at-a-time semantics (conjunctive pruning, per-chunk bound test,
+    local top-n) are preserved exactly — the same per-chunk kernel runs,
+    just batched."""
+
+    def run(pdf: pd.DataFrame, aux: pd.DataFrame | None = None) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return empty
+        aux_groups: dict = {}
+        if aux is not None and len(aux):
+            aux_groups = dict(tuple(aux.groupby("chunk", sort=False)))
+        outs = [
+            chunk_kernel(g, aux_groups.get(ck))
+            for ck, g in pdf.groupby("chunk", sort=False)
+        ]
+        outs = [o for o in outs if len(o)]
+        return pd.concat(outs, ignore_index=True) if outs else empty
+
+    return run
+
+
+def _with_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
+    return df.withColumn(
+        "_bucket", F.pmod(F.hash("chunk"), F.lit(n_buckets))
+    )
+
+
+_EMPTY_SCORES = pd.DataFrame(
+    {
+        "doc_id": pd.Series([], dtype="int64"),
+        "score": pd.Series([], dtype="float64"),
+    }
+)
+
+_EMPTY_MATCH = pd.DataFrame({"doc_id": pd.Series([], dtype="int64")})
+
+
 def _chunk_of_doc(chunk_docs: int):
     """FLOOR division chunk key, exact in integer arithmetic — must agree
     with the encoder's numpy `ids // chunk_docs` for negative doc ids too
@@ -410,6 +497,7 @@ def wand_topk(
     first_batch_chunks: int = 16,
     filter_docs: DataFrame | None = None,
     pq: ParsedQuery | None = None,
+    single_phase_max_chunks: int = 4096,
 ) -> DataFrame:
     """Block-max top-k; rank-identical to exact_topk. Returns doc_id, score,
     rank. `filter_docs` (doc_id) restricts results to that set, applied
@@ -457,40 +545,57 @@ def wand_topk(
     aux = _aux_frames(index, filter_docs)
     filter_active = filter_docs is not None
 
+    # bucketed kernel: group count bounded by B, not by corpus chunk count
+    n_buckets = max(32, spark.sparkContext.defaultParallelism * 2)
+
     def _score(chunk_ids_df: DataFrame | None, tau: float) -> list:
         sel = blocks
         if chunk_ids_df is not None:
             sel = blocks.join(F.broadcast(chunk_ids_df), "chunk", "left_semi")
-        scorer = _make_chunk_scorer(pq, k1, b, avgdl, n_keep, tau, filter_active)
+        sel = _with_bucket(sel, n_buckets)
+        scorer = _bucketed_kernel(
+            _make_chunk_scorer(pq, k1, b, avgdl, n_keep, tau, filter_active),
+            _EMPTY_SCORES,
+        )
         if aux is None:
-            scored = sel.groupBy("chunk").applyInPandas(
+            scored = sel.groupBy("_bucket").applyInPandas(
                 lambda pdf: scorer(pdf, None), schema=CHUNK_SCORES_SCHEMA
             )
         else:
             aux_sel = aux
             if chunk_ids_df is not None:
                 aux_sel = aux.join(F.broadcast(chunk_ids_df), "chunk", "left_semi")
+            aux_sel = _with_bucket(aux_sel, n_buckets)
             scored = (
-                sel.groupBy("chunk")
-                .cogroup(aux_sel.groupBy("chunk"))
+                sel.groupBy("_bucket")
+                .cogroup(aux_sel.groupBy("_bucket"))
                 .applyInPandas(
                     lambda left, right: scorer(left, right),
                     schema=CHUNK_SCORES_SCHEMA,
                 )
             )
-        return (
-            scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(n_keep).collect()
-        )
+        with _interactive_conf(spark):
+            return (
+                scored.orderBy(F.desc("score"), F.asc("doc_id"))
+                .limit(n_keep)
+                .collect()
+            )
 
     # Adaptive plan: when the whole index has few chunks, the bounds pass
     # costs more (an extra Spark job) than it can save — score every chunk
     # in ONE job; the scorer's conjunctive check prunes per chunk anyway.
     # At 10^8+ chunks (10^12 docs) the two-phase bounds pruning is the only
     # viable plan. This is a metadata-only cost decision, no data scanned.
-    # Cutover tuned empirically: per-Spark-job overhead (~0.3-0.5 s) means
-    # the bounds job + second scoring job only pay off once they can prune
-    # hundreds of chunks; below that, one job scoring every chunk wins.
-    if index.n_chunks <= 8 * first_batch_chunks:
+    # Cutover tuned empirically AT SCALE: each extra Spark job costs a
+    # fixed ~0.5-1 s (shuffle setup, AQE re-plan, Python runner spin-up),
+    # while decoding+scoring a pruned chunk costs ~1-3 ms of bucketed
+    # kernel work — so two-phase only pays once it can prune O(10^3-10^4)
+    # chunks. Measured at 2M docs / 245 chunks, the two-phase plan was
+    # 2-3x SLOWER than one job scoring every chunk (3.4 s vs 1.3 s p50);
+    # at 128 chunks and below both plans tie. 4096 chunks (~33M docs at
+    # the default chunk_docs) keeps the one-job plan until the decode
+    # volume genuinely rivals a job's fixed overhead.
+    if index.n_chunks <= max(8 * first_batch_chunks, single_phase_max_chunks):
         rows = _score(None, tau=0.0)
         merged = [(int(r["doc_id"]), float(r["score"])) for r in rows]
         page = [
@@ -513,11 +618,12 @@ def wand_topk(
         .filter(F.col("nt") == len(pq.terms))
         .select("chunk", "bound")
     )
-    top_bounds = (
-        chunk_bounds.orderBy(F.desc("bound"), F.asc("chunk"))
-        .limit(first_batch_chunks + 1)
-        .collect()
-    )
+    with _interactive_conf(spark):
+        top_bounds = (
+            chunk_bounds.orderBy(F.desc("bound"), F.asc("chunk"))
+            .limit(first_batch_chunks + 1)
+            .collect()
+        )
     if not top_bounds:
         return spark.createDataFrame([], RESULT_SCHEMA)
     phase1_ids = [int(r["chunk"]) for r in top_bounds[:first_batch_chunks]]
@@ -621,14 +727,20 @@ def match_docs(
     blocks = index.postings().filter(F.col("term").isin(all_terms)).select(*cols)
 
     aux = _aux_frames(index, filter_docs)
-    matcher = _make_chunk_matcher(pq, filter_docs is not None)
+    n_buckets = max(
+        32, index.spark.sparkContext.defaultParallelism * 2
+    )
+    matcher = _bucketed_kernel(
+        _make_chunk_matcher(pq, filter_docs is not None), _EMPTY_MATCH
+    )
+    blocks = _with_bucket(blocks, n_buckets)
     if aux is None:
-        return blocks.groupBy("chunk").applyInPandas(
+        return blocks.groupBy("_bucket").applyInPandas(
             lambda pdf: matcher(pdf, None), schema=MATCH_SCHEMA
         )
     return (
-        blocks.groupBy("chunk")
-        .cogroup(aux.groupBy("chunk"))
+        blocks.groupBy("_bucket")
+        .cogroup(_with_bucket(aux, n_buckets).groupBy("_bucket"))
         .applyInPandas(
             lambda left, right: matcher(left, right), schema=MATCH_SCHEMA
         )
