@@ -131,3 +131,35 @@ def test_sharded_server_bit_identical_to_single(built_index):
         parts.append(set(s._term_cache["danger"][0].tolist()))
     assert set.union(*parts) == whole
     assert sum(len(p) for p in parts) == len(whole)
+
+
+def test_warmup_preloads_top_df_terms(built_index):
+    """warmup(preload_top_terms=N) decodes the N highest-df terms into
+    the cache at startup; a subsequent head-term query touches no row
+    groups, and results stay rank-identical to the exact scorer."""
+    srv = TopKServer.open(built_index.index_dir)
+    srv.warmup(preload_top_terms=8)
+    assert len(srv._term_cache) >= 8
+    # the cached set must be the df-top terms of the corpus
+    import pyarrow.dataset as pads
+    import os
+
+    stats = (
+        pads.dataset(
+            os.path.join(built_index.index_dir, "gen0", "term_stats"),
+            format="parquet",
+        )
+        .to_table(columns=["term", "df"])
+        .to_pandas()
+        .sort_values(["df", "term"], ascending=[False, True])
+    )
+    top8 = set(stats.head(8)["term"])
+    assert top8 <= set(srv._term_cache)
+    head = stats.iloc[0]["term"]
+    calls = []
+    orig = srv._read_row_groups
+    srv._read_row_groups = lambda *a, **k: calls.append(a) or orig(*a, **k)
+    got = _s(srv.topk(head, k=13))
+    # df lookup may hit term_stats, but postings must come from cache
+    assert not any("postings" in str(a) for a in calls), calls
+    assert got == _x(exact_topk(built_index, head, k=13))
