@@ -86,6 +86,7 @@ def to_jsonapi(
     render_params=None,
     related: DataFrame | None = None,
     related_meta: DataFrame | None = None,
+    unblended: bool = False,
 ) -> dict:
     """JSON:API-shaped document: {data: [{type, id, attributes}], meta}.
 
@@ -100,12 +101,16 @@ def to_jsonapi(
 
     blendCards note: the reference's UNblended default wraps every hit in a
     'search-result' resource that merely references an 'index-card'
-    resource carrying the content (trovesearch_gathering.py:156-192);
-    `blendCards` collapses that indirection. A DataFrame result row IS the
-    collapsed form — attributes inline, one resource per hit — so this
-    renderer always emits the blended shape (the indirection carries no
-    additional information; `render_params.blend_cards` is accepted and
-    parsed for querystring compatibility).
+    resource carrying the content (trovesearch_gathering.py:156-211
+    `_unblended_card`); `blendCards` collapses that indirection. A
+    DataFrame result row IS the collapsed form — attributes inline, one
+    resource per hit — so this renderer emits the blended shape by
+    default (the indirection carries no additional information).
+    `unblended=True` reproduces the reference's wire shape exactly: data
+    becomes 'search-result' wrappers whose only payload is an `indexCard`
+    relationship, and the cards move to `included` with their attributes
+    (and any include= relationships) intact. Wire `render_params
+    .blend_cards` to it for querystring-driven behavior.
 
     `include=path,path` (JSON:API compound documents; the reference resolves
     includes during gathering, trove/util/trove_params.py:44-117 +
@@ -235,6 +240,27 @@ def to_jsonapi(
                 for path, vals in sorted(rels.items())
             }
         data.append(entry)
+    if unblended:
+        # the reference's default wire shape: a 'search-result' wrapper
+        # per hit referencing its 'index-card'; the card (with its
+        # attributes and include= relationships) moves to `included`
+        cards = [
+            {k: v for k, v in dict(e, type=resource_type).items()}
+            for e in data
+        ]
+        data = [
+            {
+                "type": "search-result",
+                "id": e["id"],
+                "relationships": {
+                    "indexCard": {
+                        "data": {"type": resource_type, "id": e["id"]}
+                    }
+                },
+            }
+            for e in data
+        ]
+        included = cards + included
     doc: dict = {"data": data}
     if included:
         doc["included"] = included

@@ -115,6 +115,31 @@ def test_jsonapi_render(spark):
     assert doc["meta"]["total"] == 1
 
 
+def test_jsonapi_unblended_wrapper_shape(spark):
+    """unblended=True reproduces the reference's default wire shape
+    (trovesearch_gathering.py _unblended_card): 'search-result' wrappers
+    referencing 'index-card' resources carried in `included`."""
+    df = spark.createDataFrame(
+        [(5, 0.9), (6, 0.8)], "doc_id long, score double"
+    )
+    doc = render.to_jsonapi(
+        df, "index-card", "doc_id", total=2, unblended=True
+    )
+    assert [e["type"] for e in doc["data"]] == ["search-result"] * 2
+    assert doc["data"][0]["relationships"]["indexCard"]["data"] == {
+        "type": "index-card", "id": "5"
+    }
+    assert "attributes" not in doc["data"][0]
+    cards = {e["id"]: e for e in doc["included"]}
+    assert cards["5"]["type"] == "index-card"
+    assert cards["5"]["attributes"]["score"] == 0.9
+    assert doc["meta"]["total"] == 2
+    # blended default unchanged
+    blended = render.to_jsonapi(df, "index-card", "doc_id")
+    assert blended["data"][0]["attributes"]["score"] == 0.9
+    assert "included" not in blended
+
+
 def test_value_key_preference():
     assert render.pick_preferred_value({"label": "c", "name": "b", "@id": "a"}) == "a"
     assert render.pick_preferred_value({"label": "c"}) == "c"
