@@ -617,7 +617,9 @@ def wand_topk(
     # at 128 chunks and below both plans tie. 4096 chunks (~33M docs at
     # the default chunk_docs) keeps the one-job plan until the decode
     # volume genuinely rivals a job's fixed overhead.
-    if index.n_chunks <= max(8 * first_batch_chunks, single_phase_max_chunks):
+    # (single_phase_max_chunks=0 forces the two-phase plan — used by tests
+    # to keep the at-scale path covered on small fixtures)
+    if index.n_chunks <= single_phase_max_chunks:
         rows = _score(None, tau=0.0)
         merged = [(int(r["doc_id"]), float(r["score"])) for r in rows]
         page = [

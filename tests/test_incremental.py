@@ -188,7 +188,10 @@ def test_two_phase_bounds_survive_avgdl_drift(spark, tmp_path):
         ]
         pruned = [
             (r["rank"], r["doc_id"])
-            for r in wand_topk(idx, q, k=15, first_batch_chunks=1).collect()
+            for r in wand_topk(
+                idx, q, k=15, first_batch_chunks=1,
+                single_phase_max_chunks=0,
+            ).collect()
         ]
         assert pruned == exact, q
 

@@ -91,7 +91,7 @@ def test_wand_two_phase_path_matches_exact(built_index):
     the plan used at real scale — and assert rank identity."""
     for qtext, k in [("danger", 13), ("the data", 13), ("w00001 w00002", 101)]:
         exact = _rows(exact_topk(built_index, qtext, k=k))
-        got = _rows(wand_topk(built_index, qtext, k=k, first_batch_chunks=1))
+        got = _rows(wand_topk(built_index, qtext, k=k, first_batch_chunks=1, single_phase_max_chunks=0))
         assert [(r, d) for r, d, _ in got] == [(r, d) for r, d, _ in exact], qtext
 
 
