@@ -44,6 +44,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import uuid
 from collections.abc import Iterator
 from dataclasses import dataclass, field
 
@@ -616,6 +617,12 @@ def build_index(
     n_terms = spark.read.parquet(stats_path).count()
     gen_manifest = {
         "generation": generation,
+        # identity nonce for THIS build of this generation: readers that
+        # cache decoded state (the serve tier) must drop it when a
+        # generation is REBUILT under the same number — compact() of
+        # gens [0,N] lands on [0] again, so the generation list alone
+        # cannot distinguish "same files" from "entirely new files"
+        "build_id": uuid.uuid4().hex,
         "strategy_check": cfg.checksum(),
         "analyzer": cfg.analyzer,
         "block_size": cfg.block_size,

@@ -115,8 +115,14 @@ class TopKServer:
                 os.path.join(self.index_dir, f"gen{g}", "manifest.json")
             ) as f:
                 gens.append(json.load(f))
-        if [g["generation"] for g in gens] != [
-            g["generation"] for g in self._gens
+        # compare (generation, build_id) — NOT the generation list alone:
+        # compact() of gens [0,N] lands on [0] again with entirely new
+        # files, and open parquet handles would silently keep serving the
+        # DELETED old build's bytes (posix unlink semantics).  build_id is
+        # the per-build nonce written by build_index; absent (pre-nonce
+        # indexes) it degrades to the generation-number comparison.
+        if [(g["generation"], g.get("build_id")) for g in gens] != [
+            (g["generation"], g.get("build_id")) for g in self._gens
         ]:
             self._term_cache.clear()
             self._term_cache_nbytes = 0

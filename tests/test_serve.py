@@ -163,3 +163,30 @@ def test_warmup_preloads_top_df_terms(built_index):
     # df lookup may hit term_stats, but postings must come from cache
     assert not any("postings" in str(a) for a in calls), calls
     assert got == _x(exact_topk(built_index, head, k=13))
+
+
+def test_refresh_detects_same_numbered_rebuild(spark, pages_pdf, tmp_path):
+    """compact() can land on the same generation list ([0]) with entirely
+    new files; refresh must drop caches via the build_id nonce, not keep
+    serving the deleted build's bytes through open handles."""
+    from share_spark.index.build import IndexConfig, build_index
+    from share_spark.streaming.incremental import apply_incremental, compact
+
+    cfg = IndexConfig(block_size=32, chunk_docs=64)
+    d = str(tmp_path / "idx")
+    build_index(spark, spark.createDataFrame(pages_pdf), d, cfg)
+    srv = TopKServer.open(d)
+    target = srv.topk("danger", k=5)[0][0]
+    assert srv.topk("zyzzyva", k=5) == []
+
+    # replace one doc, then compact: generations go [0,1] -> [0] with
+    # all-new files under the same numbering
+    changed = pages_pdf[pages_pdf.doc_id == target].copy()
+    changed["text"] = "zyzzyva replacement content"
+    changed["html"] = None
+    apply_incremental(spark, d, spark.createDataFrame(changed), cfg)
+    compact(spark, d, cfg)
+
+    srv.refresh()
+    assert [r[0] for r in srv.topk("zyzzyva", k=5)] == [target]
+    assert target not in {r[0] for r in srv.topk("danger", k=50)}
