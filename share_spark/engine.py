@@ -112,6 +112,30 @@ class SearchEngine:
         self._path_types = None  # new docs may introduce new property paths
         return manifest
 
+    def compact(
+        self,
+        cfg: IndexConfig | None = None,
+        policy: "object | None" = None,
+    ) -> dict | None:
+        """Fold generations into one (streaming.incremental.compact) and
+        refresh every handle this engine holds.  With `policy` (a
+        CompactionPolicy), compaction runs only when the policy's
+        metadata-only check fires (maybe_compact) — the facade twin of
+        watch_incremental's auto-compaction.  Returns the new gen0
+        manifest, or None when the policy declined."""
+        from .streaming.incremental import compact, maybe_compact
+
+        if policy is not None:
+            manifest = maybe_compact(self.spark, self.index_dir, policy, cfg)
+            if manifest is None:
+                return None
+        else:
+            manifest = compact(self.spark, self.index_dir, cfg)
+        self.reader = IndexReader.open(self.spark, self.index_dir)
+        if self._server is not None:
+            self._server.refresh()  # build_id nonce drops stale caches
+        return manifest
+
     # -- query surface ------------------------------------------------------
 
     def topk(

@@ -139,3 +139,40 @@ def test_facade_ingest_refreshes_both_tiers(engine, spark, pages_pdf):
     served = [d for d, _, _ in engine.topk("danger", k=13, serve=True)]
     assert target not in dist and target not in served
     assert dist == served
+
+
+def test_engine_compact_refreshes_reader_and_server(spark, tmp_path):
+    """Facade compact(): generations fold to one, the reader snapshot is
+    reopened, the serve tier sees the rebuild, and a policy that declines
+    leaves everything untouched."""
+    import pandas as pd
+
+    from share_spark.corpus import make_web_pages
+    from share_spark.engine import SearchEngine
+    from share_spark.index.build import IndexConfig
+    from share_spark.streaming.incremental import CompactionPolicy
+
+    pages = make_web_pages(120, seed=3)
+    cfg = IndexConfig(block_size=32, chunk_docs=64)
+    eng = SearchEngine.build(
+        spark, spark.createDataFrame(pages), str(tmp_path / "idx"), cfg
+    )
+    target = eng.topk("danger", k=5, serve=True)[0][0]
+    changed = pages[pages.doc_id == target].copy()
+    changed["text"] = "pangolin replacement"
+    changed["html"] = None
+    eng.ingest(spark.createDataFrame(changed), cfg)
+    assert len(eng.reader.manifest["generations"]) == 2
+    # declining policy: no-op
+    assert eng.compact(cfg, policy=CompactionPolicy(
+        max_generations=50, max_tombstone_frac=1e9
+    )) is None
+    assert len(eng.reader.manifest["generations"]) == 2
+    # unconditional compact: single generation, both paths see new content
+    m = eng.compact(cfg)
+    assert m is not None
+    assert eng.reader.manifest["generations"] == [0]
+    assert [r[0] for r in eng.topk("pangolin", k=5, serve=True)] == [target]
+    assert {r["doc_id"] for r in eng.topk("pangolin", k=5).collect()} == {
+        target
+    }
