@@ -112,6 +112,17 @@ class SearchEngine:
         self._path_types = None  # new docs may introduce new property paths
         return manifest
 
+    def expel(self, doc_ids: list[int]) -> None:
+        """Soft-delete documents in ALL generations (the reference's expel
+        lifecycle, trove/digestive_tract.py:232-241) and refresh this
+        engine's handles so the tombstones are immediately visible."""
+        from .streaming.incremental import expel
+
+        expel(self.spark, self.index_dir, doc_ids)
+        self.reader = IndexReader.open(self.spark, self.index_dir)
+        if self._server is not None:
+            self._server.refresh()
+
     def compact(
         self,
         cfg: IndexConfig | None = None,

@@ -136,3 +136,67 @@ def test_resume_skips_done_stages(spark, tmp_path):
         for r in decode_blocks(IndexReader.open(spark, d).postings()).collect()
     )
     assert before == after
+
+
+def test_url_keyed_ids_full_range_int64(spark, tmp_path):
+    """Input-hint shape: pages keyed by url only — doc ids derive as
+    xxhash64(url), full-range int64 (about half NEGATIVE). Chunking
+    (floor div), WAND/exact/serve rank identity, url-based replacement
+    tombstones, and expel must all survive negative ids."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from share_spark.engine import SearchEngine
+    from share_spark.index.build import IndexConfig, IndexReader
+    from share_spark.query.bm25 import exact_topk
+    from share_spark.query.wand import wand_topk
+
+    n = 120
+    pdf = pd.DataFrame(
+        {
+            "url": [f"https://s{i % 7}.example/p/{i}" for i in range(n)],
+            "text": [
+                ("special marker " if i % 5 == 0 else "")
+                + f"w{i % 11:02d} filler body common tokens"
+                for i in range(n)
+            ],
+            "html": None,
+        }
+    )
+    cfg = IndexConfig(block_size=16, chunk_docs=64)
+    d = str(tmp_path / "urlidx")
+    eng = SearchEngine.build(spark, spark.createDataFrame(pdf), d, cfg)
+    idx = eng.reader
+    docs = idx.docs().select("doc_id", "url").collect()
+    ids = {r["url"]: r["doc_id"] for r in docs}
+    assert len(ids) == n
+    assert any(v < 0 for v in ids.values())  # full-range hashing
+    # chunk keys are floor-div (negative chunks exist and are consistent)
+    assert any(v // cfg.chunk_docs < 0 for v in ids.values())
+
+    w = [(r["doc_id"], round(r["score"], 9))
+         for r in wand_topk(idx, "special marker", k=30).collect()]
+    e = [(r["doc_id"], round(r["score"], 9))
+         for r in exact_topk(idx, "special marker", k=30).collect()]
+    assert w == e and len(w) == n // 5
+    s = [(doc, round(sc, 9)) for doc, sc, _ in eng.topk(
+        "special marker", k=30, serve=True
+    )]
+    assert s == w
+
+    # url-keyed replacement: same url, new text -> old content tombstoned
+    repl = pdf.iloc[[0]].copy()
+    repl["text"] = "entirely new capuchin content"
+    eng.ingest(spark.createDataFrame(repl), cfg)
+    idx2 = eng.reader
+    assert {r["doc_id"] for r in wand_topk(idx2, "capuchin", k=5).collect()} \
+        == {ids[pdf.iloc[0]["url"]]}
+    hits = {r["doc_id"] for r in wand_topk(idx2, "special", k=40).collect()}
+    assert ids[pdf.iloc[0]["url"]] not in hits and len(hits) == n // 5 - 1
+
+    # expel a negative-id doc through the facade
+    victim = next(v for v in ids.values() if v < 0 and v in hits)
+    eng.expel([victim])
+    hits2 = {r["doc_id"] for r in wand_topk(eng.reader, "special", k=40).collect()}
+    assert victim not in hits2 and len(hits2) == len(hits) - 1
+    assert victim not in {doc for doc, _, _ in eng.topk("special", k=40, serve=True)}
