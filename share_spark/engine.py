@@ -204,7 +204,16 @@ class SearchEngine:
     def oaipmh(self, params: dict[str, list[str]]) -> str:
         if self.oai_cards is None:
             raise ValueError("oaipmh requires an oai_cards table")
-        return OaiRepository(self.oai_cards).handle_request(params)
+        # one repository per oai_cards table, not per request: the
+        # repository memoizes earliestDatestamp (a full-table min scan),
+        # which only amortizes if the instance outlives the request.
+        # Keyed on the table object so reassigning engine.oai_cards gets
+        # a fresh repository (and fresh memo).
+        cached = getattr(self, "_oai_repo", None)
+        if cached is None or cached[0] is not self.oai_cards:
+            cached = (self.oai_cards, OaiRepository(self.oai_cards))
+            self._oai_repo = cached
+        return cached[1].handle_request(params)
 
     # -- deriver registry -----------------------------------------------------
 

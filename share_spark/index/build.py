@@ -452,6 +452,31 @@ def build_index(
     register: bool = True,
     assume_unique_ids: bool = False,
 ) -> dict:
+    """Full batch index build (see _build_index_impl for the DAG).
+
+    Runs under batch_sql_conf: if interactive top-k queries are in flight
+    on the same session (their guard narrows shuffle width and disables
+    AQE), the build asserts the session's own settings for its duration —
+    a terabyte-scale shuffle must never inherit a 4-partition reduce."""
+    from ..session import batch_sql_conf
+
+    with batch_sql_conf(spark):
+        return _build_index_impl(
+            spark, pages, index_dir, cfg, resume, generation, register,
+            assume_unique_ids,
+        )
+
+
+def _build_index_impl(
+    spark: SparkSession,
+    pages: DataFrame,
+    index_dir: str,
+    cfg: IndexConfig | None = None,
+    resume: bool = False,
+    generation: int = 0,
+    register: bool = True,
+    assume_unique_ids: bool = False,
+) -> dict:
     """Full batch index build; returns the manifest dict.
 
     Analog of SHARE's backfill (share/models/index_backfill.py:148-188 +

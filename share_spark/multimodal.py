@@ -126,6 +126,11 @@ def decode_png(payload: bytes):
             color_type = color
         elif ctype == b"PLTE":
             palette = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS":
+            # transparency for palette/gray images: keep the honest-bound
+            # contract — refuse rather than silently decode transparent
+            # pixels as opaque palette colors
+            raise NotImplementedError("PNG tRNS transparency")
         elif ctype == b"IDAT":
             idat.extend(data)
     if width is None:

@@ -205,14 +205,6 @@ def _ft_and(spark, sf_dir):
     ).select("doc_id")
 
 
-def _ft_or(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    return docs.filter(
-        F.array_contains(toks, "spark") | F.array_contains(toks, "slow")
-    ).select("doc_id")
-
-
 def _ft_not(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     toks = F.split("text", " ")
@@ -375,16 +367,6 @@ def _events_windowed_counts(spark, sf_dir):
             "n_events",
             "sum_value",
         )
-    )
-
-
-def _latest_event_per_user(spark, sf_dir):
-    ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.asc("event_id"))
-    return (
-        ev.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("user_id", "event_id", "ts")
     )
 
 
@@ -1207,9 +1189,9 @@ QUERIES = {
     "ft_bm25_serve": _serve_bm25,
     "ft_bm25_topk": _inline_bm25,
     "ft_and_terms": _ft_and,
-    # ft_or_any folded out (OR combinator still pytest-covered via wand
-    # tests; _ft_or retained for tests) to hold the 50-entry budget while
-    # ft_highlight gets a driver-oracle row
+    # ft_or_any folded out (OR combinator still pytest-covered via the
+    # wand suite) to hold the 50-entry budget while ft_highlight gets a
+    # driver-oracle row
     "ft_highlight": _ft_highlight,
     "ft_not": _ft_not,
     "term_stats_top": _term_stats_top,

@@ -90,7 +90,9 @@ class TroveRenderParams:
     blendCards, iriShorthand[short]=iri, include=path,path,
     fields[TYPE]=path,path (bare fields= means fields[*])."""
 
-    blend_cards: bool = False
+    # tri-state: None = blendCards absent from the querystring (renderer
+    # keeps its own default), True/False = explicitly requested
+    blend_cards: bool | None = None
     iri_shorthand: tuple[tuple[str, str], ...] = ()
     included_relations: tuple[str, ...] = ()
     attrpaths_by_type: tuple[tuple[str, tuple[str, ...]], ...] = ()
@@ -117,7 +119,7 @@ _TRUTHY = {"", "true", "1", "yes"}  # _qp.get_bool_value: presence is truthy
 
 def parse_render_params(querystring: str) -> TroveRenderParams:
     pairs = parse_qsl(querystring, keep_blank_values=True)
-    blend = False
+    blend: bool | None = None
     shorthand: list[tuple[str, str]] = []
     include: list[str] = []
     fields: dict[str, list[str]] = {}

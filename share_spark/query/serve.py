@@ -151,9 +151,11 @@ class TopKServer:
         (O(df) varint work — ~0.5 s for a 1.4M-posting term at 2M docs)
         AND the ones every realistic query mix hits, so preloading them
         moves that cost from the first unlucky queries to startup.  The
-        preload walks df-descending and stops when the cache budget is
-        ~80% spent, so it can never evict what it just loaded; the long
-        tail stays cold but tail terms are small (fast) by definition."""
+        preload walks df-descending in small batches, checking the cache
+        budget BEFORE each batch and stopping once ~80% is spent — at
+        worst one batch of already-preloaded terms is ever evicted; the
+        long tail stays cold but tail terms are small (fast) by
+        definition."""
         from concurrent.futures import ThreadPoolExecutor
 
         jobs = []
@@ -166,19 +168,30 @@ class TopKServer:
         if preload_top_terms > 0:
             for batch in self._top_df_terms(preload_top_terms):
                 with self._lock:
-                    self._read_terms(batch)
+                    # budget check BEFORE the batch: _read_terms' own
+                    # eviction protects only the in-flight batch, so
+                    # issuing a batch past the budget could evict terms
+                    # preloaded moments ago — stop while ~20% headroom
+                    # remains instead
                     if self._term_cache_nbytes > 0.8 * self.max_cache_bytes:
                         break
+                    self._read_terms(batch)
 
-    def _top_df_terms(self, n: int, batch: int = 32):
+    def _top_df_terms(self, n: int, batch: int = 8):
         """Yield the n highest-df terms in df-descending batches.
 
-        Streams term_stats row group by row group keeping a running top-n
-        (never materializes the full vocabulary — at web scale the term
-        dictionary is 10^8+ rows; this holds O(n) in memory)."""
-        best: list[tuple[int, str]] = []  # (df, term), ascending
+        Streams term_stats row group by row group keeping a running
+        top-(n * n_gens) heap (never materializes the full vocabulary —
+        at web scale the term dictionary is 10^8+ rows; this holds O(n)
+        in memory), then SUMS df per term across generations: the same
+        term has one stats row per generation it appears in, and ranking
+        raw rows would both waste heap slots on duplicates and misrank
+        terms whose df is split across generations."""
         import heapq
 
+        n_gens = max(1, len(self._gens))
+        best: list[tuple[int, str]] = []  # (df, term), ascending heap
+        cap = n * n_gens
         for g in self._gens:
             gen = g["generation"]
             for _mn, _mx, pf, rg in self._term_directory(gen, "term_stats"):
@@ -187,11 +200,18 @@ class TopKServer:
                     tbl.column("term").to_pylist(),
                     tbl.column("df").to_pylist(),
                 ):
-                    if len(best) < n:
+                    if len(best) < cap:
                         heapq.heappush(best, (int(d), t))
                     elif d > best[0][0]:
                         heapq.heapreplace(best, (int(d), t))
-        ordered = [t for _d, t in sorted(best, reverse=True)]
+        totals: dict[str, int] = {}
+        for d, t in best:
+            totals[t] = totals.get(t, 0) + d
+        ordered = [
+            t for t, _d in sorted(
+                totals.items(), key=lambda kv: (-kv[1], kv[0])
+            )
+        ][:n]
         for i in range(0, len(ordered), batch):
             yield ordered[i : i + batch]
 
@@ -349,7 +369,7 @@ class TopKServer:
         )
 
         missing = []
-        for t in terms:
+        for t in dict.fromkeys(terms):  # dedupe, order-preserving
             if t in self._term_cache:
                 self._term_cache.move_to_end(t)  # LRU touch
             else:
@@ -563,10 +583,13 @@ class ShardedTopKServer:
         for s in self._shards:
             s.refresh()
 
-    def warmup(self) -> None:
-        """Startup preload on every shard (TopKServer.warmup parity)."""
+    def warmup(self, preload_top_terms: int = 0) -> None:
+        """Startup preload on every shard (TopKServer.warmup parity);
+        `preload_top_terms` forwards — each shard decodes only its own
+        chunk stripe of the head terms, so the warmer parallelizes
+        exactly like the queries it protects."""
         for s in self._shards:
-            s.warmup()
+            s.warmup(preload_top_terms=preload_top_terms)
 
     def topk(
         self, query_text: str, k: int = 13, offset: int = 0

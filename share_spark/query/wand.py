@@ -358,66 +358,18 @@ def _make_chunk_scorer(
     return score_chunk
 
 
-_AQE_LOCK = __import__("threading").Lock()
-_AQE_STATE: dict[int, list] = {}  # id(spark) -> [depth, saved aqe, saved sp]
-
-# reduce-side width for interactive top-k jobs: each bucket-group emits at
-# most n_keep rows, so a handful of reduce tasks carries the whole result —
-# while a 32-partition reduce costs 32 task launches PER QUERY that fight
-# each other under concurrency. Measured (local[32]): sp=4 vs session
-# default 32 is seq p50 0.89->0.72 s AND 8-thread qps 2.5->4.3 at 200k
-# docs; at 2M docs qps 2.2->3.4 for ~0.1 s of sequential p50. On a real
-# cluster this bounds per-query scheduler load the same way.
-INTERACTIVE_SHUFFLE_PARTITIONS = 4
-
-
-class _interactive_conf:
-    """Interactive-query SQL conf, scoped to a top-k's own actions:
-    AQE off + a narrow shuffle width.
-
-    AQE turns every shuffle into a materialized stage barrier with a
-    re-optimization pass — right for the build's skewed terabyte shuffles,
-    wrong for a top-k that moves kilobytes: measured at 2M docs the same
-    query set runs p50 1.77 s / p95 2.46 s with AQE vs 1.15 / 1.33
-    without. (AQE's one interactive virtue, coalescing empty reduce
-    partitions, is kept — explicitly, via INTERACTIVE_SHUFFLE_PARTITIONS —
-    without paying for the re-plan barrier.) Refcounted per session so
-    concurrent query threads don't restore the conf out from under each
-    other; the build path never touches it."""
-
-    def __init__(self, spark):
-        self.spark = spark
-
-    def __enter__(self):
-        with _AQE_LOCK:
-            st = _AQE_STATE.setdefault(id(self.spark), [0, None, None])
-            if st[0] == 0:
-                st[1] = self.spark.conf.get(
-                    "spark.sql.adaptive.enabled", "true"
-                )
-                st[2] = self.spark.conf.get(
-                    "spark.sql.shuffle.partitions", "200"
-                )
-                self.spark.conf.set("spark.sql.adaptive.enabled", "false")
-                self.spark.conf.set(
-                    "spark.sql.shuffle.partitions",
-                    str(INTERACTIVE_SHUFFLE_PARTITIONS),
-                )
-            st[0] += 1
-        return self
-
-    def __exit__(self, *exc):
-        with _AQE_LOCK:
-            st = _AQE_STATE[id(self.spark)]
-            st[0] -= 1
-            if st[0] == 0:
-                self.spark.conf.set(
-                    "spark.sql.adaptive.enabled", st[1] or "true"
-                )
-                self.spark.conf.set(
-                    "spark.sql.shuffle.partitions", st[2] or "200"
-                )
-        return False
+# Interactive-query SQL conf (AQE off + narrow reduces), scoped to a
+# top-k's own actions.  AQE turns every shuffle into a materialized stage
+# barrier with a re-optimization pass — right for the build's skewed
+# terabyte shuffles, wrong for a top-k that moves kilobytes: measured at
+# 2M docs the same query set runs p50 1.77 s / p95 2.46 s with AQE vs
+# 1.15 / 1.33 without.  (AQE's one interactive virtue, coalescing empty
+# reduce partitions, is kept — explicitly, via the narrow width — without
+# paying for the re-plan barrier.)  Lives in ..session so the build path
+# can hold the complementary batch_sql_conf: when a build overlaps
+# in-flight queries on the same session, BATCH WINS and the session's own
+# AQE/shuffle settings are asserted for the overlap.
+from ..session import interactive_sql_conf as _interactive_conf  # noqa: E402
 
 
 def _bucketed_kernel(chunk_kernel, empty: pd.DataFrame):

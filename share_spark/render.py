@@ -86,7 +86,7 @@ def to_jsonapi(
     render_params=None,
     related: DataFrame | None = None,
     related_meta: DataFrame | None = None,
-    unblended: bool = False,
+    unblended: bool | None = None,
 ) -> dict:
     """JSON:API-shaped document: {data: [{type, id, attributes}], meta}.
 
@@ -109,8 +109,13 @@ def to_jsonapi(
     `unblended=True` reproduces the reference's wire shape exactly: data
     becomes 'search-result' wrappers whose only payload is an `indexCard`
     relationship, and the cards move to `included` with their attributes
-    (and any include= relationships) intact. Wire `render_params
-    .blend_cards` to it for querystring-driven behavior.
+    (and any include= relationships) intact. `unblended=None` (default)
+    follows the querystring when one was parsed: an explicit
+    `blendCards=false` (or bare-false value) in render_params selects the
+    unblended wrapper, `blendCards=1` the blended collapse; with
+    blendCards absent the renderer keeps the blended default (documented
+    deviation from the reference's unblended absent-default — the
+    collapse is the information-preserving DataFrame-native shape).
 
     `include=path,path` (JSON:API compound documents; the reference resolves
     includes during gathering, trove/util/trove_params.py:44-117 +
@@ -240,14 +245,14 @@ def to_jsonapi(
                 for path, vals in sorted(rels.items())
             }
         data.append(entry)
+    if unblended is None:
+        explicit = getattr(render_params, "blend_cards", None)
+        unblended = explicit is False  # only an explicit blendCards=false
     if unblended:
         # the reference's default wire shape: a 'search-result' wrapper
         # per hit referencing its 'index-card'; the card (with its
         # attributes and include= relationships) moves to `included`
-        cards = [
-            {k: v for k, v in dict(e, type=resource_type).items()}
-            for e in data
-        ]
+        cards = [dict(e) for e in data]
         data = [
             {
                 "type": "search-result",

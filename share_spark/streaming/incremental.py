@@ -295,7 +295,12 @@ def watch_incremental(
     batch id regardless of what compaction collapsed), so replays remain
     idempotent.  Returns the StreamingQuery; caller owns
     awaitTermination/stop."""
-    cfg = cfg or IndexConfig()
+    # default to the INDEX'S registered config, not IndexConfig(): the
+    # non-checksummed layout knobs (n_partitions, serve_layout) must
+    # survive both the per-batch builds and any policy-triggered
+    # compaction — an explicit IndexConfig() default would silently
+    # rewrite the index with default layout when compaction fires
+    cfg = cfg or config_of(index_dir)
     base_gen = max(_manifest(index_dir)["generations"]) + 1
 
     reader = spark.readStream.schema(schema)

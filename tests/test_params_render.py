@@ -233,3 +233,23 @@ def test_jsonapi_multihop_include(spark):
 
     with _pytest.raises(ValueError, match="related_meta"):
         to_jsonapi(df, "card", "doc_id", render_params=rp, related=related)
+
+
+def test_blendcards_querystring_drives_wrapper(spark):
+    """An explicit blendCards=false in the querystring selects the
+    unblended wrapper; blendCards=1 and blendCards-absent stay blended."""
+    from share_spark.query.params import parse_render_params
+
+    df = spark.createDataFrame([(5, 0.9)], "doc_id long, score double")
+    off = render.to_jsonapi(
+        df, "index-card", "doc_id",
+        render_params=parse_render_params("blendCards=0"),
+    )
+    assert off["data"][0]["type"] == "search-result"
+    assert off["included"][0]["attributes"]["score"] == 0.9
+    for qs in ("blendCards=1", ""):
+        on = render.to_jsonapi(
+            df, "index-card", "doc_id",
+            render_params=parse_render_params(qs),
+        )
+        assert on["data"][0]["attributes"]["score"] == 0.9

@@ -84,7 +84,8 @@ def test_parse_render_params():
     assert p.included_relations == ("creator", "subject")
     assert p.fields_for("Preprint") == ("title", "dateCreated")
     assert p.fields_for("Registration") == ("sameAs",)  # the fields[*] bucket
-    assert parse_render_params("").blend_cards is False
+    assert parse_render_params("").blend_cards is None  # absent: tri-state
+    assert parse_render_params("blendCards=0").blend_cards is False
     assert parse_render_params("q=x").fields_for("Anything") is None
 
 
