@@ -260,7 +260,7 @@ def test_streaming_auto_compact_multibatch(spark, base_index, tmp_path):
     sdf = None
     for i in range(6):
         new = pages.iloc[[i]].copy()
-        new["text"] = f"streamed capybara batch{i}"
+        new["text"] = f"streamed cassowary batch{i}"
         new["html"] = None
         sdf = spark.createDataFrame(new)
         sdf.coalesce(1).write.mode("append").parquet(stream_dir)
@@ -272,6 +272,6 @@ def test_streaming_auto_compact_multibatch(spark, base_index, tmp_path):
     q.awaitTermination(300)
     idx = IndexReader.open(spark, d)
     assert len(idx.manifest["generations"]) <= 3
-    assert _hits(idx, "capybara") == {
+    assert _hits(idx, "cassowary") == {
         int(pages.iloc[i].doc_id) for i in range(6)
     }
