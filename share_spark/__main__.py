@@ -8,6 +8,7 @@ factory in session.py. Every command prints ONE JSON line on stdout so
 orchestration (Airflow/cron/shell) can parse results without scraping logs.
 
   python -m share_spark build --pages P.parquet --index-dir IDX [--resume]
+  python -m share_spark build --pages warcs/ --warc --index-dir IDX
   python -m share_spark query --index-dir IDX --query "data science" -k 10
   python -m share_spark compact --index-dir IDX
 
@@ -33,7 +34,12 @@ def _cmd_build(args: argparse.Namespace) -> dict:
     from .index.build import IndexConfig, build_index
 
     spark = _get_spark("share_spark_build")
-    pages = spark.read.parquet(args.pages)
+    if args.warc:
+        from .warc import read_warc
+
+        pages = read_warc(spark, args.pages)
+    else:
+        pages = spark.read.parquet(args.pages)
     cfg = IndexConfig(
         analyzer=args.analyzer,
         block_size=args.block_size,
@@ -118,7 +124,11 @@ def main(argv: list[str] | None = None) -> int:
     sub = p.add_subparsers(dest="cmd", required=True)
 
     b = sub.add_parser("build", help="full backfill index build")
-    b.add_argument("--pages", required=True, help="input parquet path")
+    b.add_argument("--pages", required=True,
+                   help="input parquet path (or a WARC dir with --warc)")
+    b.add_argument("--warc", action="store_true",
+                   help="treat --pages as a directory of WARC files "
+                        "(Common-Crawl container; decoded via warc.read_warc)")
     b.add_argument("--index-dir", required=True)
     b.add_argument("--analyzer", default="standard")
     b.add_argument("--block-size", type=int, default=128)
