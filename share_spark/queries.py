@@ -79,7 +79,15 @@ def _inline_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("tf") + K1 * (1.0 - B + B * F.col("dl") / F.col("avgdl"))),
         )
         .groupBy("doc_id")
-        .agg(F.sum("tscore").alias("score"), F.count("*").alias("nt"))
+        .agg(
+            # deterministic term-order fold (see query/bm25.py exact_topk)
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("term", "tscore"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["tscore"],
+            ).alias("score"),
+            F.count("*").alias("nt"),
+        )
         .filter(F.col("nt") == len(qt))
         .select("doc_id", F.round("score", 4).alias("score"))
     )

@@ -311,8 +311,21 @@ def exact_topk(
             * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
         ),
     )
+    # Deterministic accumulation: fold per-term scores in ascending-term
+    # order (array_sort on struct(term, ..) orders by term; UTF-8 binary
+    # order == code-point order, matching Python's sorted() in the WAND
+    # kernel and tests/frozen_bm25.py). A bare F.sum folds doubles in
+    # shuffle-arrival order, which can split an exact tie cluster at the
+    # last ulp and flip the doc_id tie-break — observed at 12.5k chunks.
+    # The list is at most len(pq.terms) entries per doc, so collect_list
+    # here is O(query terms), not O(corpus).
     agg = per_term.groupBy("doc_id").agg(
-        F.sum("tscore").alias("score"), F.count("*").alias("n_terms_hit")
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("term", "tscore"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["tscore"],
+        ).alias("score"),
+        F.count("*").alias("n_terms_hit"),
     )
     # AND-of-terms (simple_query_string default_operator=AND)
     agg = agg.filter(F.col("n_terms_hit") == len(pq.terms)).drop("n_terms_hit")

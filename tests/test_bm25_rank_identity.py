@@ -75,3 +75,74 @@ def test_offset_paging_is_consistent(built_index):
     assert [(r["doc_id"], r["rank"]) for r in page2] == [
         (r["doc_id"], r["rank"]) for r in full[10:20]
     ]
+
+
+def test_exact_tie_clusters_fold_deterministically(spark, tmp_path):
+    """Exact-duplicate docs MUST get bit-identical scores so the doc_id
+    tie-break orders them, regardless of shuffle arrival order.
+
+    Regression: exact_topk summed per-term doubles with F.sum (arrival
+    order), which at high chunk counts split a tie cluster at the last
+    ulp and flipped ranks vs WAND / the frozen oracle (both fold in
+    ascending-term order). chunk_docs=4 here spreads each cluster's
+    members across many chunks/partitions to maximize order variance.
+    """
+    from datetime import datetime, timezone
+
+    import pandas as pd
+
+    from share_spark.index.build import IndexConfig, IndexReader, build_index
+    from share_spark.query.wand import wand_topk
+
+    # 10 distinct texts x 12 copies; copies interleaved so cluster members
+    # land in different chunks. Varying tf/dl per variant, identical within
+    # a cluster. Terms span idf magnitudes so addition order matters.
+    variants = []
+    for v in range(10):
+        toks = (
+            ["alpha"] * (1 + v % 3)
+            + ["beta"] * (1 + v % 2)
+            + ["gamma"]
+            + ["delta"] * (1 + v % 4)
+            + [f"filler{v}x{j}" for j in range(v * 3)]
+        )
+        variants.append(" ".join(toks))
+    ts = datetime(2020, 1, 1, tzinfo=timezone.utc)
+    rows = [
+        {
+            "doc_id": rep * 10 + v,
+            "url": f"https://t.example/{rep * 10 + v}",
+            "warc_ts": ts,
+            "html": None,
+            "text": variants[v],
+            "lang": "en",
+        }
+        for rep in range(12)
+        for v in range(10)
+    ]
+    pages = spark.createDataFrame(pd.DataFrame(rows))
+    idx_dir = str(tmp_path / "tie_idx")
+    build_index(
+        spark, pages, idx_dir, IndexConfig(block_size=4, chunk_docs=4)
+    )
+    index = IndexReader.open(spark, idx_dir)
+
+    q = "alpha beta gamma delta"
+    exact = exact_topk(index, q, k=200).collect()
+    assert len(exact) == 120
+    by_variant = {}
+    for r in exact:
+        by_variant.setdefault(r["doc_id"] % 10, []).append(r)
+    for v, grp in by_variant.items():
+        scores = {r["score"] for r in grp}
+        assert len(scores) == 1, f"variant {v}: tie cluster split {scores}"
+        ranks_sorted = sorted(grp, key=lambda r: r["rank"])
+        ids = [r["doc_id"] for r in ranks_sorted]
+        assert ids == sorted(ids), f"variant {v}: tie-break not doc_id asc"
+
+    wand = wand_topk(index, q, k=200).collect()
+    assert [(r["rank"], r["doc_id"]) for r in wand] == [
+        (r["rank"], r["doc_id"]) for r in exact
+    ]
+    for w, e in zip(wand, exact):
+        assert abs(w["score"] - e["score"]) < 1e-9
