@@ -2,8 +2,9 @@
 
 Image/audio/video payloads are opaque `binary` columns with a typed metadata
 struct; decode / feature-extract / resize / frame-sample run as Arrow-batched
-pandas UDFs via mapInPandas. PNG decodes for real (stdlib zlib + numpy,
-`decode_png`) as does the deterministic SPPM test codec; jpeg/webp remain
+pandas UDFs via mapInPandas. PNG (stdlib zlib + numpy, `decode_png`),
+baseline JPEG (pure numpy Huffman+DCT, share_spark/jpeg.py) and the
+deterministic SPPM test codec all decode for real; webp/avif remain
 STUBBED (codec libraries are not in this container — see `decode_image`),
 with all Spark-side plumbing (schemas, batch iteration, partitioning, UDF
 signatures) real and tested.
@@ -269,9 +270,14 @@ def decode_image(payload: bytes):
         return a.reshape(h, w, c)
     if payload[:8] == PNG_MAGIC:
         return decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        from share_spark.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        "jpeg/webp/... require PIL/libvips, not in this container — swap "
-        "decode_image's body at deploy time (png decodes via decode_png)"
+        "webp/avif/... require PIL/libvips, not in this container — swap "
+        "decode_image's body at deploy time (png decodes via decode_png, "
+        "baseline jpeg via share_spark.jpeg.decode_jpeg)"
     )
 
 

@@ -65,11 +65,10 @@ def test_sppm_roundtrip_and_resize():
 
     import pytest
 
-    # PNG now decodes for real — corrupt PNG bytes are a data error,
-    # while jpeg remains the honest NotImplementedError stub
+    # PNG and JPEG now decode for real — corrupt bytes are a data error
     with pytest.raises(ValueError):
         decode_image(b"\x89PNG\r\n\x1a\n" + b"0" * 32)
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0" + b"0" * 32)
     with pytest.raises(ValueError):
         decode_image(b"SPPM\x00")
@@ -234,9 +233,12 @@ def test_png_honest_bounds():
     )
     with pytest.raises(NotImplementedError, match="interlaced"):
         multimodal.decode_png(interlaced)
-    # jpeg still raises the narrowed stub error
-    with pytest.raises(NotImplementedError, match="jpeg"):
+    # jpeg now decodes for real — fake payloads are a data error
+    with pytest.raises(ValueError):
         multimodal.decode_image(b"\xff\xd8\xff\xe0 jfif fake payload")
+    # unknown container formats keep the honest stub
+    with pytest.raises(NotImplementedError, match="webp"):
+        multimodal.decode_image(b"RIFF....WEBPVP8 fake")
 
 
 def test_decode_and_resize_accepts_real_png(spark):
