@@ -55,7 +55,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..extract import EXTRACTOR_VERSION, extract_text
-from .codec import delta_encode_blocks, varint_encode_blocks
+from .codec import get_codec, varint_decode
 
 K1_DEFAULT = 1.2  # Lucene BM25 defaults; the reference never overrides
 B_DEFAULT = 0.75  # `similarity` (SURVEY.md §2.5, BASELINE.md §A)
@@ -126,6 +126,10 @@ class IndexConfig:
     b: float = B_DEFAULT
     n_partitions: int | None = None
     salt_chunks: int = 4  # shuffle-salt window = salt_chunks * chunk_docs
+    # posting-block binary layout: "varint" (pure LEB128) or "pfor" (hybrid
+    # per-block PFor/varint — see codec.py; ~1.2x smaller raw postings).
+    # Checksum-relevant: generations of one index must share a codec.
+    postings_codec: str = "varint"
     # also write a term-clustered copy of the posting blocks for the serving
     # tier (query/serve.py): the WAND layout hashes terms across partitions
     # (right for distributed scoring), which makes a single term's blocks
@@ -145,7 +149,9 @@ class IndexConfig:
                 "k1": self.k1,
                 "b": self.b,
                 "extractor_version": EXTRACTOR_VERSION,
-                "layout": "delta-varint-blocks-v2-pos",
+                # layout string is codec-specific; the varint value is the
+                # historical constant so pre-codec indexes keep their checksum
+                "layout": get_codec(self.postings_codec).layout,
             },
             sort_keys=True,
         )
@@ -301,6 +307,7 @@ def _make_block_encoder(cfg: IndexConfig):
     (chunk = doc_id // chunk_docs) — see module docstring.
     """
     bs, chunk_docs = cfg.block_size, cfg.chunk_docs
+    codec = get_codec(cfg.postings_codec)
     MIN_ROWS = 1 << 17  # accumulate small Arrow batches before encoding
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -352,21 +359,34 @@ def _make_block_encoder(cfg: IndexConfig):
             min_dl = np.minimum.reduceat(dls, bstarts).astype(np.int32)
             sum_tf = np.add.reduceat(tfs, bstarts)
 
-            docs_bin = delta_encode_blocks(ids, bstarts, bends)
-            tfs_bin = varint_encode_blocks(tfs, bstarts, bends)
-            dls_bin = varint_encode_blocks(dls, bstarts, bends)
-            # positional runs: one C-level join of the batch's buffers, then
-            # per-block byte slices (posting -> byte offsets via run lengths)
+            docs_bin = codec.encode_delta_blocks(ids, bstarts, bends)
+            tfs_bin = codec.encode_plain_blocks(tfs, bstarts, bends)
+            dls_bin = codec.encode_plain_blocks(dls, bstarts, bends)
+            # positional runs: build_termdoc ships them per-posting as
+            # delta-varint bytes ([first_abs, gap, ...] per run)
             pos_vals = pdf["pos_bin"].tolist()
-            plens = np.fromiter(
-                (len(x) for x in pos_vals), dtype=np.int64, count=n
-            )
-            poffs = np.zeros(n + 1, dtype=np.int64)
-            np.cumsum(plens, out=poffs[1:])
             pbuf = b"".join(pos_vals)
-            pos_bin = [
-                pbuf[poffs[s] : poffs[e]] for s, e in zip(bstarts, bends)
-            ]
+            if codec.name == "varint":
+                # byte slicing IS re-encoding here: the per-block varint
+                # layout equals the concatenation of its runs' varint bytes
+                plens = np.fromiter(
+                    (len(x) for x in pos_vals), dtype=np.int64, count=n
+                )
+                poffs = np.zeros(n + 1, dtype=np.int64)
+                np.cumsum(plens, out=poffs[1:])
+                pos_bin = [
+                    pbuf[poffs[s] : poffs[e]] for s, e in zip(bstarts, bends)
+                ]
+            else:
+                # decode the raw run value stream (first_abs + gaps, NOT
+                # absolute positions) and re-encode per block in the value
+                # domain — posting -> value offsets via the tf prefix sum
+                pvals = varint_decode(pbuf)
+                ctf = np.zeros(n + 1, dtype=np.int64)
+                np.cumsum(tfs, out=ctf[1:])
+                pos_bin = codec.encode_plain_blocks(
+                    pvals, ctf[bstarts], ctf[bends]
+                )
             return pd.DataFrame(
                 {
                     "term": terms[bstarts],
@@ -650,6 +670,7 @@ def _build_index_impl(
         "build_id": uuid.uuid4().hex,
         "strategy_check": cfg.checksum(),
         "analyzer": cfg.analyzer,
+        "postings_codec": cfg.postings_codec,
         "block_size": cfg.block_size,
         "chunk_docs": cfg.chunk_docs,
         "k1": cfg.k1,
@@ -702,6 +723,7 @@ def config_of(index_dir: str) -> IndexConfig:
         # the IndexConfig defaults
         n_partitions=gm.get("n_partitions"),
         serve_layout=gm.get("serve_layout", True),
+        postings_codec=gm.get("postings_codec", "varint"),
     )
 
 
@@ -772,6 +794,13 @@ class IndexReader:
     @property
     def analyzer(self) -> str:
         return self.gen_manifests[0]["analyzer"]
+
+    @property
+    def postings_codec(self) -> str:
+        """Block binary layout (uniform across generations — strategy_check
+        folds the codec's layout string, so mixed-codec indexes can't
+        register). Pre-codec manifests are pure varint."""
+        return self.gen_manifests[0].get("postings_codec", "varint")
 
     @property
     def chunk_docs(self) -> int:

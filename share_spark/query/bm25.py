@@ -33,7 +33,7 @@ from pyspark.sql import types as T
 
 from ..analysis import tokenize
 from ..index.build import IndexReader
-from ..index.codec import delta_decode, varint_decode
+from ..index.codec import get_codec
 
 POSTINGS_SCHEMA = T.StructType(
     [
@@ -94,42 +94,42 @@ def idf(n_docs: int, df: int) -> float:
     return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
 
 
-def decode_blocks(blocks: DataFrame) -> DataFrame:
-    """Posting blocks -> (term, doc_id, tf, dl) rows, vectorized decode."""
+def decode_blocks(blocks: DataFrame, codec_name: str = "varint") -> DataFrame:
+    """Posting blocks -> (term, doc_id, tf, dl) rows, vectorized decode:
+    ONE codec call per column per Arrow batch (per-block values expand to
+    per-posting rows by repeating the block key `n` times)."""
 
     has_gen = "gen" in blocks.columns
+    codec = get_codec(codec_name)
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            terms: list[np.ndarray] = []
-            ids: list[np.ndarray] = []
-            tfs: list[np.ndarray] = []
-            dls: list[np.ndarray] = []
-            gens: list[np.ndarray] = []
-            gen_col = pdf["gen"] if has_gen else [0] * len(pdf)
-            for term, docs_bin, tfs_bin, dls_bin, gen in zip(
-                pdf["term"], pdf["docs_bin"], pdf["tfs_bin"], pdf["dls_bin"], gen_col
-            ):
-                d = delta_decode(docs_bin)
-                terms.append(np.full(len(d), term, dtype=object))
-                ids.append(d.astype(np.int64))
-                tfs.append(varint_decode(tfs_bin).astype(np.int32))
-                dls.append(varint_decode(dls_bin).astype(np.int32))
-                gens.append(np.full(len(d), gen, dtype=np.int32))
-            if not ids:
+            if not len(pdf):
                 yield pd.DataFrame(
                     {"term": [], "doc_id": [], "tf": [], "dl": [], "gen": []}
                 ).astype(
                     {"doc_id": "int64", "tf": "int32", "dl": "int32", "gen": "int32"}
                 )
                 continue
+            ns = pdf["n"].to_numpy(dtype=np.int64)
+            gen_col = (
+                pdf["gen"].to_numpy(dtype=np.int32)
+                if has_gen
+                else np.zeros(len(pdf), dtype=np.int32)
+            )
             yield pd.DataFrame(
                 {
-                    "term": np.concatenate(terms),
-                    "doc_id": np.concatenate(ids),
-                    "tf": np.concatenate(tfs),
-                    "dl": np.concatenate(dls),
-                    "gen": np.concatenate(gens),
+                    "term": np.repeat(pdf["term"].to_numpy(), ns),
+                    "doc_id": codec.decode_delta(pdf["docs_bin"], ns).astype(
+                        np.int64
+                    ),
+                    "tf": codec.decode_plain(pdf["tfs_bin"], ns).astype(
+                        np.int32
+                    ),
+                    "dl": codec.decode_plain(pdf["dls_bin"], ns).astype(
+                        np.int32
+                    ),
+                    "gen": np.repeat(gen_col, ns),
                 }
             )
 
@@ -140,7 +140,7 @@ def live_postings(index: IndexReader, terms: list[str]) -> DataFrame:
     """Decoded posting rows for `terms`, with generation-scoped tombstones
     applied: a row survives unless some tombstone has before_gen > row.gen."""
     blocks = index.postings().filter(F.col("term").isin(terms))
-    rows = decode_blocks(blocks)
+    rows = decode_blocks(blocks, index.postings_codec)
     tomb = index.tombstones()
     if tomb is not None:
         # no broadcast hint: tombstone volume is unbounded between
@@ -186,34 +186,26 @@ def positions_rows(index: IndexReader, terms: list[str]) -> DataFrame:
     with generation-scoped tombstones applied — the exact path's view of the
     positional index (pos_bin runs decoded vectorized, per block)."""
     blocks = index.postings().filter(F.col("term").isin(terms)).select(
-        "term", "docs_bin", "tfs_bin", "pos_bin", "gen"
+        "term", "n", "docs_bin", "tfs_bin", "pos_bin", "gen"
     )
+    codec = get_codec(index.postings_codec)
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..index.codec import grouped_delta_decode
-
         for pdf in batches:
-            terms_l, ids_l, gens_l, poss_l = [], [], [], []
-            for term, db, tb, pb, gen in zip(
-                pdf["term"], pdf["docs_bin"], pdf["tfs_bin"], pdf["pos_bin"],
-                pdf["gen"],
-            ):
-                ids = delta_decode(db).astype(np.int64)
-                tfs = varint_decode(tb).astype(np.int64)
-                flat = grouped_delta_decode(pb, tfs)
-                plists = np.split(flat, np.cumsum(tfs)[:-1])
-                terms_l.append(np.full(len(ids), term, dtype=object))
-                ids_l.append(ids)
-                gens_l.append(np.full(len(ids), gen, dtype=np.int32))
-                poss_l.extend(plists)
-            if not ids_l:
+            if not len(pdf):
                 continue
+            ns = pdf["n"].to_numpy(dtype=np.int64)
+            ids = codec.decode_delta(pdf["docs_bin"], ns).astype(np.int64)
+            tfs = codec.decode_plain(pdf["tfs_bin"], ns).astype(np.int64)
+            flat = codec.decode_runs(pdf["pos_bin"], ns, tfs)
             yield pd.DataFrame(
                 {
-                    "term": np.concatenate(terms_l),
-                    "doc_id": np.concatenate(ids_l),
-                    "gen": np.concatenate(gens_l),
-                    "positions": poss_l,
+                    "term": np.repeat(pdf["term"].to_numpy(), ns),
+                    "doc_id": ids,
+                    "gen": np.repeat(pdf["gen"].to_numpy(dtype=np.int32), ns),
+                    "positions": np.split(
+                        np.asarray(flat), np.cumsum(tfs)[:-1]
+                    ),
                 }
             )
 

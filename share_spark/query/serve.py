@@ -132,6 +132,9 @@ class TopKServer:
         self.k1 = gens[0]["k1"]
         self.b = gens[0]["b"]
         self.analyzer = gens[0]["analyzer"]
+        from ..index.codec import get_codec
+
+        self._codec = get_codec(gens[0].get("postings_codec", "varint"))
         self._n_docs = sum(g["n_docs"] for g in gens)
         self._avgdl = (
             sum(g["avgdl"] * g["n_docs"] for g in gens) / self._n_docs
@@ -361,12 +364,9 @@ class TopKServer:
         (ids, tfs, dls, pos_flat, gens) numpy arrays. Decode happens ONCE per
         term per server lifetime — a warm query runs only the scoring kernel.
         """
-        from ..index.codec import (
-            delta_decode,
-            gather_groups,
-            grouped_delta_decode,
-            varint_decode,
-        )
+        from ..index.codec import gather_groups
+
+        codec = self._codec
 
         missing = []
         for t in dict.fromkeys(terms):  # dedupe, order-preserving
@@ -423,12 +423,12 @@ class TopKServer:
                 # int32 operands promote to float64 in the scoring kernel,
                 # so scores stay bit-identical to the distributed path.
                 ns = g2["n"].to_numpy(dtype=np.int64)
-                ids = grouped_delta_decode(b"".join(g2["docs_bin"]), ns)
-                tfs = varint_decode(b"".join(g2["tfs_bin"])).astype(np.int64)
-                dls = varint_decode(b"".join(g2["dls_bin"])).astype(np.int32)
-                pos_flat = grouped_delta_decode(
-                    b"".join(g2["pos_bin"]), tfs
-                ).astype(np.int32)
+                ids = codec.decode_delta(g2["docs_bin"], ns)
+                tfs = codec.decode_plain(g2["tfs_bin"], ns).astype(np.int64)
+                dls = codec.decode_plain(g2["dls_bin"], ns).astype(np.int32)
+                pos_flat = codec.decode_runs(g2["pos_bin"], ns, tfs).astype(
+                    np.int32
+                )
                 ids_l.append(ids)
                 tfs_l.append(tfs)
                 dls_l.append(dls)

@@ -56,13 +56,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..index.build import IndexReader
-from ..index.codec import (
-    delta_decode,
-    filter_groups,
-    gather_groups,
-    grouped_delta_decode,
-    varint_decode,
-)
+from ..index.codec import filter_groups, gather_groups, get_codec
 from .bm25 import ParsedQuery, parse_query
 
 CHUNK_SCORES_SCHEMA = T.StructType(
@@ -222,13 +216,17 @@ def _decode_chunk_lists(
     tomb_gens: np.ndarray | None,
     score_terms: frozenset,
     phrase_terms: frozenset,
+    codec=None,
 ) -> dict:
     """Decode one chunk's block rows into per-term posting arrays:
     term -> (ids sorted, tfs, dls or None, pos_flat or None).
 
     dls decode only for `score_terms`, positions only for `phrase_terms`;
     generation-scoped tombstones applied per (term, gen) before the merge.
-    Shared by the scoring kernel and the boolean match-set kernel."""
+    Shared by the scoring kernel and the boolean match-set kernel. `codec`
+    is a codec class from index.codec.POSTING_CODECS (None = varint)."""
+    if codec is None:
+        codec = get_codec("varint")
     pdf = pdf.sort_values(["term", "gen", "first_doc"], kind="mergesort")
     lists: dict[str, tuple] = {}
     for term, grp in pdf.groupby("term", sort=False):
@@ -236,17 +234,18 @@ def _decode_chunk_lists(
         want_pos = term in phrase_terms
         p_ids, p_tfs, p_dls, p_pos = [], [], [], []
         for gen, g2 in grp.groupby("gen", sort=True):
-            # batch decode: ONE call per column per (term, gen) — varints
-            # are self-delimiting, and doc-id gap runs reset per block
-            # (grouped decode keyed by the block posting counts)
+            # batch decode: ONE codec call per column per (term, gen) —
+            # blocks are self-delimiting within the concatenated buffer,
+            # and doc-id gap runs reset per block (grouped decode keyed by
+            # the block posting counts)
             ns = g2["n"].to_numpy(dtype=np.int64)
-            ids = grouped_delta_decode(b"".join(g2["docs_bin"]), ns)
-            tfs = varint_decode(b"".join(g2["tfs_bin"])).astype(np.int64)
+            ids = codec.decode_delta(g2["docs_bin"], ns)
+            tfs = codec.decode_plain(g2["tfs_bin"], ns).astype(np.int64)
             dls = pos_flat = None
             if want_score:
-                dls = varint_decode(b"".join(g2["dls_bin"])).astype(np.float64)
+                dls = codec.decode_plain(g2["dls_bin"], ns).astype(np.float64)
             if want_pos:
-                pos_flat = grouped_delta_decode(b"".join(g2["pos_bin"]), tfs)
+                pos_flat = codec.decode_runs(g2["pos_bin"], ns, tfs)
             if tomb_ids is not None:
                 excl = tomb_ids[tomb_gens > int(gen)]
                 if excl.size:
@@ -297,6 +296,7 @@ def _make_chunk_scorer(
     n_keep: int,
     tau: float,
     filter_active: bool,
+    codec_name: str = "varint",
 ):
     """applyInPandas / cogroup kernel: score one chunk's blocks, emit local
     top-n.
@@ -314,6 +314,7 @@ def _make_chunk_scorer(
     phrase_terms = frozenset(
         t for ph in (pq.phrases + pq.neg_phrases) for t in ph
     )
+    codec = get_codec(codec_name)
 
     empty = pd.DataFrame(
         {
@@ -349,7 +350,9 @@ def _make_chunk_scorer(
         if bound < tau:  # ties kept: equal-score docs can win on doc_id
             return empty
 
-        lists = _decode_chunk_lists(pdf, tomb_ids, tomb_gens, pos_set, phrase_terms)
+        lists = _decode_chunk_lists(
+            pdf, tomb_ids, tomb_gens, pos_set, phrase_terms, codec
+        )
         doc_ids, scores = score_term_lists(
             pq, lists, idf_of, k1, b, avgdl, n_keep, allow_ids
         )
@@ -528,7 +531,10 @@ def wand_topk(
             sel = blocks.join(F.broadcast(chunk_ids_df), "chunk", "left_semi")
         sel = _with_bucket(sel, n_buckets)
         scorer = _bucketed_kernel(
-            _make_chunk_scorer(pq, k1, b, avgdl, n_keep, tau, filter_active),
+            _make_chunk_scorer(
+                pq, k1, b, avgdl, n_keep, tau, filter_active,
+                index.postings_codec,
+            ),
             _EMPTY_SCORES,
         )
         if aux is None:
@@ -634,7 +640,9 @@ def wand_topk(
 MATCH_SCHEMA = T.StructType([T.StructField("doc_id", T.LongType())])
 
 
-def _make_chunk_matcher(pq: ParsedQuery, filter_active: bool):
+def _make_chunk_matcher(
+    pq: ParsedQuery, filter_active: bool, codec_name: str = "varint"
+):
     """applyInPandas / cogroup kernel for the boolean match set: emit EVERY
     doc in the chunk satisfying the query — no scoring, no truncation.
     Decode + candidate logic shared with the scoring kernel
@@ -647,6 +655,7 @@ def _make_chunk_matcher(pq: ParsedQuery, filter_active: bool):
     # dls decode only to bound the phrase-key stride P; term-only queries
     # never touch dls_bin
     score_terms = pos_set if (pq.phrases or pq.neg_phrases) else frozenset()
+    codec = get_codec(codec_name)
     empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64")})
 
     def match_chunk(pdf: pd.DataFrame, aux: pd.DataFrame | None = None) -> pd.DataFrame:
@@ -662,7 +671,7 @@ def _make_chunk_matcher(pq: ParsedQuery, filter_active: bool):
             if any(t not in seen for t in ph):
                 return empty
         lists = _decode_chunk_lists(
-            pdf, tomb_ids, tomb_gens, score_terms, phrase_terms
+            pdf, tomb_ids, tomb_gens, score_terms, phrase_terms, codec
         )
         return pd.DataFrame({"doc_id": candidate_ids(pq, lists, allow_ids)})
 
@@ -707,7 +716,8 @@ def match_docs(
         32, index.spark.sparkContext.defaultParallelism * 2
     )
     matcher = _bucketed_kernel(
-        _make_chunk_matcher(pq, filter_docs is not None), _EMPTY_MATCH
+        _make_chunk_matcher(pq, filter_docs is not None, index.postings_codec),
+        _EMPTY_MATCH,
     )
     blocks = _with_bucket(blocks, n_buckets)
     if aux is None:
