@@ -115,8 +115,28 @@ def _cmd_compact(args: argparse.Namespace) -> dict:
     from .streaming.incremental import compact
 
     spark = _get_spark("share_spark_compact")
-    result = compact(spark, args.index_dir)
+    result = compact(
+        spark, args.index_dir, keep_history=args.keep_history
+    )
     return {"cmd": "compact", "index_dir": args.index_dir, **(result or {})}
+
+
+def _cmd_snapshots(args: argparse.Namespace) -> dict:
+    # metadata-only: no SparkSession needed to list lineage
+    from .index.snapshots import read_snapshots
+
+    return {
+        "cmd": "snapshots",
+        "index_dir": args.index_dir,
+        "snapshots": read_snapshots(args.index_dir),
+    }
+
+
+def _cmd_expire(args: argparse.Namespace) -> dict:
+    from .index.snapshots import expire_snapshots
+
+    report = expire_snapshots(args.index_dir, keep_last=args.keep)
+    return {"cmd": "expire", "index_dir": args.index_dir, **report}
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -160,7 +180,20 @@ def main(argv: list[str] | None = None) -> int:
 
     c = sub.add_parser("compact", help="fold tombstones, drop dead postings")
     c.add_argument("--index-dir", required=True)
+    c.add_argument("--keep-history", action="store_true",
+                   help="leave old generations on disk so earlier "
+                        "snapshots stay time-travelable until `expire`")
     c.set_defaults(fn=_cmd_compact)
+
+    s = sub.add_parser("snapshots", help="list the commit lineage log")
+    s.add_argument("--index-dir", required=True)
+    s.set_defaults(fn=_cmd_snapshots)
+
+    x = sub.add_parser("expire", help="expire old snapshots, reclaim data")
+    x.add_argument("--index-dir", required=True)
+    x.add_argument("--keep", type=int, default=1,
+                   help="how many newest snapshots to retain (default 1)")
+    x.set_defaults(fn=_cmd_expire)
 
     args = p.parse_args(argv)
     out = args.fn(args)

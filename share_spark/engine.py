@@ -112,6 +112,16 @@ class SearchEngine:
         self._path_types = None  # new docs may introduce new property paths
         return manifest
 
+    def history(self) -> list[dict]:
+        """The index's commit lineage — one record per snapshot (build /
+        ingest / expel / compact), oldest first.  The queryable twin of the
+        reference's IndexBackfill audit rows
+        (share/models/index_backfill.py:35-146); pass a record's
+        snapshot_id to IndexReader.open for a time-travel read."""
+        from .index.snapshots import read_snapshots
+
+        return read_snapshots(self.index_dir)
+
     def expel(self, doc_ids: list[int]) -> None:
         """Soft-delete documents in ALL generations (the reference's expel
         lifecycle, trove/digestive_tract.py:232-241) and refresh this

@@ -727,23 +727,90 @@ def config_of(index_dir: str) -> IndexConfig:
     )
 
 
-def register_generation(index_dir: str, generation: int, cfg: IndexConfig) -> None:
-    """Atomically add a built generation to the top-level manifest (the
-    commit point — tmp write + os.replace, so readers see either the old or
-    the new generation list, never a torn file)."""
+_KEEP = object()  # sentinel: "leave the manifest's tombstone pointer alone"
+
+
+def commit_manifest(
+    index_dir: str,
+    *,
+    generations: list[int] | None = None,
+    strategy_check: str | None = None,
+    tombstones: object = _KEEP,
+    operation: str = "append",
+    summary: dict | None = None,
+) -> dict:
+    """The single commit point: atomically update the top-level manifest
+    (tmp write + os.replace — readers see either the old or the new state,
+    never a torn file) and append the matching snapshot record to the
+    lineage log (snapshots.py — the Iceberg-snapshot analog)."""
+    from .snapshots import commit_snapshot
+
     manifest_path = os.path.join(index_dir, "manifest.json")
-    manifest = {"strategy_check": cfg.checksum(), "generations": []}
+    manifest: dict = {"generations": []}
     if os.path.exists(manifest_path):
         with open(manifest_path) as f:
             manifest = json.load(f)
-    gens = [g for g in manifest.get("generations", []) if g != generation]
-    gens.append(generation)
-    manifest["generations"] = sorted(gens)
-    manifest["strategy_check"] = cfg.checksum()
+    if generations is not None:
+        manifest["generations"] = sorted(set(int(g) for g in generations))
+    if strategy_check is not None:
+        manifest["strategy_check"] = strategy_check
+    if tombstones is not _KEEP:
+        if tombstones is None:
+            manifest.pop("tombstones", None)
+        else:
+            manifest["tombstones"] = tombstones
     tmp = manifest_path + ".tmp"
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
     os.replace(tmp, manifest_path)
+    commit_snapshot(
+        index_dir,
+        operation=operation,
+        generations=manifest["generations"],
+        tombstones=manifest.get("tombstones"),
+        summary=summary,
+    )
+    return manifest
+
+
+def register_generation(
+    index_dir: str,
+    generation: int,
+    cfg: IndexConfig,
+    *,
+    tombstones: object = _KEEP,
+    summary: dict | None = None,
+) -> None:
+    """Commit a built generation: add it to the manifest's generation list
+    (optionally swinging the tombstone-version pointer in the SAME commit —
+    an incremental batch is one logical transaction) and append an "append"
+    snapshot to the lineage log."""
+    manifest_path = os.path.join(index_dir, "manifest.json")
+    gens = [generation]
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            gens += [
+                g
+                for g in json.load(f).get("generations", [])
+                if g != generation
+            ]
+    if summary is None:
+        gman = os.path.join(index_dir, f"gen{generation}", "manifest.json")
+        with open(gman) as f:
+            gm = json.load(f)
+        summary = {
+            "generation": generation,
+            "n_docs": gm.get("n_docs"),
+            "n_terms": gm.get("n_terms"),
+        }
+    commit_manifest(
+        index_dir,
+        generations=gens,
+        strategy_check=cfg.checksum(),
+        tombstones=tombstones,
+        operation="append",
+        summary=summary,
+    )
 
 
 @dataclass
@@ -755,16 +822,45 @@ class IndexReader:
     manifest: dict = field(default_factory=dict)
     gen_manifests: list[dict] = field(default_factory=list)
     _df_cache: dict = field(default_factory=dict)
+    # tombstone dir NAME this reader sees (a versioned immutable table, the
+    # legacy in-place dir, or None) — fixed at open() so the view is a
+    # consistent snapshot even while writers commit new versions
+    tombstone_dir: str | None = None
 
     @classmethod
-    def open(cls, spark: SparkSession, index_dir: str) -> "IndexReader":
+    def open(
+        cls,
+        spark: SparkSession,
+        index_dir: str,
+        snapshot_id: int | None = None,
+    ) -> "IndexReader":
+        """Open the current committed state, or — with `snapshot_id` — the
+        index exactly as of that commit (Iceberg time travel: the snapshot
+        record pins the generation list, per-generation build nonces, and
+        the tombstone version; raises SnapshotExpiredError if those bytes
+        were since expired or rebuilt)."""
+        from .snapshots import (
+            resolve_tombstone_dir,
+            snapshot_by_id,
+            verify_snapshot_readable,
+        )
+
         with open(os.path.join(index_dir, "manifest.json")) as f:
             manifest = json.load(f)
+        if snapshot_id is None:
+            gen_list = manifest["generations"]
+            tomb_dir = resolve_tombstone_dir(index_dir, manifest)
+        else:
+            rec = snapshot_by_id(index_dir, snapshot_id)
+            verify_snapshot_readable(index_dir, rec)
+            gen_list = rec["generations"]
+            tomb_dir = rec.get("tombstones")
+            manifest = {**manifest, "generations": gen_list}
         gens = []
-        for g in manifest["generations"]:
+        for g in gen_list:
             with open(os.path.join(index_dir, f"gen{g}", "manifest.json")) as f:
                 gens.append(json.load(f))
-        return cls(spark, index_dir, manifest, gens)
+        return cls(spark, index_dir, manifest, gens, tombstone_dir=tomb_dir)
 
     def _union(self, stage: str) -> DataFrame:
         """Union across generations with a `gen` provenance column (the
@@ -842,8 +938,11 @@ class IndexReader:
         """(doc_id, before_gen): the doc is dead in every generation
         strictly below before_gen (a replacement tombstones only older
         segments; expel uses before_gen = EXPEL_ALL). Collapsed to the max
-        before_gen per doc."""
-        path = os.path.join(self.index_dir, "tombstones")
+        before_gen per doc. Reads the tombstone VERSION resolved at open()
+        — later merges write new versions and never mutate this one."""
+        if self.tombstone_dir is None:
+            return None
+        path = os.path.join(self.index_dir, self.tombstone_dir)
         if os.path.exists(path):
             return (
                 self.spark.read.parquet(path)

@@ -79,7 +79,7 @@ class TopKServer:
     _term_cache_nbytes: int = 0
     _stats_cache: dict = field(default_factory=dict)  # term -> df (int, tiny)
     _tomb: tuple | None = None
-    _tomb_mtime: float = -1.0
+    _tomb_key: tuple | None = None  # (version dir name, file mtime)
     _n_docs: int = 0
     _avgdl: float = 0.0
     # pyarrow datasets cached per (gen, stage): dataset() re-lists the
@@ -221,15 +221,27 @@ class TopKServer:
     def _load_tombstones(self) -> None:
         import pyarrow.dataset as pads
 
-        path = os.path.join(self.index_dir, "tombstones")
+        from ..index.snapshots import resolve_tombstone_dir
+
+        # resolve the CURRENT version through the manifest pointer (merges
+        # write new immutable dirs and swing the pointer, so a name change
+        # IS the staleness signal; the mtime check remains for the legacy
+        # rewritten-in-place layout)
+        name = resolve_tombstone_dir(self.index_dir)
+        if name is None:
+            self._tomb = None
+            self._tomb_key = None
+            return
+        path = os.path.join(self.index_dir, name)
         if not os.path.exists(path):
             self._tomb = None
+            self._tomb_key = None
             return
         mtime = max(
             (os.path.getmtime(os.path.join(path, f)) for f in os.listdir(path)),
             default=0.0,
         )
-        if self._tomb is not None and mtime == self._tomb_mtime:
+        if self._tomb is not None and (name, mtime) == self._tomb_key:
             return
         t = pads.dataset(path, format="parquet").to_table()
         # collapse to max before_gen per doc, SORTED by doc_id (the query
@@ -239,7 +251,7 @@ class TopKServer:
             pdf.index.to_numpy(dtype=np.int64),
             pdf.to_numpy(dtype=np.int64),
         )
-        self._tomb_mtime = mtime
+        self._tomb_key = (name, mtime)
 
     # -- per-term IO (row-group-pruned parquet reads) --------------------
 

@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..index.build import (
+    _KEEP,
     IndexConfig,
     IndexReader,
     build_index,
@@ -121,6 +122,7 @@ def apply_incremental(
     # generation < this one (generation-scoped, so the new segment's copy of
     # the doc stays live — Lucene per-segment deletes)
     older = [g for g in older_gens if g < generation]
+    tomb_version: object = _KEEP
     if older:
         old_ids = (
             spark.read.parquet(
@@ -131,54 +133,97 @@ def apply_incremental(
             .distinct()
             .withColumn("before_gen", F.lit(generation))
         )
-        _merge_tombstones(spark, index_dir, old_ids)
-    register_generation(index_dir, generation, cfg)
+        tomb_version = _merge_tombstones(spark, index_dir, old_ids)
+    # ONE commit swings both the generation list and the tombstone-version
+    # pointer (the batch is a single logical transaction); before it, the
+    # new version dir is unreferenced and invisible to every reader
+    register_generation(
+        index_dir,
+        generation,
+        cfg,
+        tombstones=tomb_version,
+        summary={
+            "generation": generation,
+            "n_docs": gen_manifest["n_docs"],
+            "ingest": "incremental",
+        },
+    )
     return gen_manifest
 
 
-def _merge_tombstones(spark: SparkSession, index_dir: str, new_rows: DataFrame) -> None:
-    tomb_path = os.path.join(index_dir, "tombstones")
+def _merge_tombstones(
+    spark: SparkSession, index_dir: str, new_rows: DataFrame
+) -> str:
+    """Merge new tombstone rows with the current version into a NEW
+    immutable version dir (tombstones_v{next snapshot id}); returns its
+    name WITHOUT committing — the caller's manifest/snapshot commit makes
+    it visible.  Old versions are never mutated, so readers opened against
+    earlier snapshots keep a consistent view (Iceberg-style versioned
+    delete files); expire_snapshots() reclaims them."""
+    from ..index.snapshots import next_snapshot_id, resolve_tombstone_dir
+
+    cur = resolve_tombstone_dir(index_dir)
     merged = new_rows
-    if os.path.exists(tomb_path):
-        merged = spark.read.parquet(tomb_path).unionByName(new_rows)
+    if cur is not None:
+        merged = spark.read.parquet(
+            os.path.join(index_dir, cur)
+        ).unionByName(new_rows)
     merged = merged.groupBy("doc_id").agg(F.max("before_gen").alias("before_gen"))
-    tmp = tomb_path + "_new"
-    merged.write.mode("overwrite").parquet(tmp)
-    old_tmp = tomb_path + "_old"
-    if os.path.exists(tomb_path):
-        os.rename(tomb_path, old_tmp)
-    os.rename(tmp, tomb_path)
-    shutil.rmtree(old_tmp, ignore_errors=True)
-    # the path's content changed under Spark's file-listing cache
-    spark.catalog.refreshByPath(tomb_path)
+    vname = f"tombstones_v{next_snapshot_id(index_dir)}"
+    # overwrite handles a crash leftover of the same (uncommitted) name
+    merged.write.mode("overwrite").parquet(os.path.join(index_dir, vname))
+    return vname
 
 
 def expel(spark: SparkSession, index_dir: str, doc_ids: list[int]) -> None:
     """Soft-delete documents in ALL generations (the reference's expel /
     soft-delete tombstones, trove/digestive_tract.py:232-241,
     trove/models/indexcard.py:215-233)."""
-    from ..index.build import EXPEL_ALL
+    from ..index.build import EXPEL_ALL, commit_manifest
 
     new = spark.createDataFrame(
         [(int(d), EXPEL_ALL) for d in doc_ids], "doc_id long, before_gen int"
     )
-    _merge_tombstones(spark, index_dir, new)
+    vname = _merge_tombstones(spark, index_dir, new)
+    commit_manifest(
+        index_dir,
+        tombstones=vname,
+        operation="delete",
+        summary={"expelled": len(doc_ids)},
+    )
 
 
 def compact(
-    spark: SparkSession, index_dir: str, cfg: IndexConfig | None = None
+    spark: SparkSession,
+    index_dir: str,
+    cfg: IndexConfig | None = None,
+    keep_history: bool = False,
 ) -> dict:
-    """Merge all generations into gen0: live docs only, fresh global stats.
+    """Merge all generations into one: live docs only, fresh global stats.
 
     The analog of both Lucene segment merging and the reference's
-    backfill-to-new-index + alias swap (elastic8.py:222-239): the new index
-    is built in a sibling directory and atomically swapped in.
+    backfill-to-new-index + alias swap (elastic8.py:222-239), committed as
+    an Iceberg-style "replace" snapshot either way:
+
+    - ``keep_history=False`` (default): the new single-generation index is
+      built in a sibling directory and atomically swapped in; the lineage
+      log is carried across the swap, but the PRE-compaction snapshots'
+      data files are gone — time travel to them raises SnapshotExpiredError
+      (Iceberg's rewrite + immediate expire_snapshots).
+    - ``keep_history=True``: the merged segment is built IN PLACE as a new
+      generation number and the commit just swings the manifest to it; old
+      generations and tombstone versions stay on disk, so every earlier
+      snapshot remains time-travelable until expire_snapshots() reclaims
+      them (Iceberg's rewrite_data_files).
 
     `cfg` defaults to the index's own registered config — compaction is a
     rewrite, so a different strategy here IS allowed when passed explicitly
     (this is how a strategy migration reindexes in place)."""
+    from ..index.build import commit_manifest
+
     cfg = cfg or config_of(index_dir)
     reader = IndexReader.open(spark, index_dir)
+    old_gens = list(reader.manifest["generations"])
     docs = reader.live_docs()
     # tombstones normally leave exactly one live row per doc; belt and
     # braces for crash windows between gen build and tombstone write
@@ -186,9 +231,49 @@ def compact(
     pages = docs.select(
         "doc_id", "url", "lang", F.col("text_norm").alias("text")
     )
+
+    if keep_history:
+        new_gen = max(old_gens) + 1
+        manifest = build_index(
+            spark, pages, index_dir, cfg, generation=new_gen, register=False
+        )
+        commit_manifest(
+            index_dir,
+            generations=[new_gen],
+            strategy_check=cfg.checksum(),
+            tombstones=None,  # the merged segment has no dead docs
+            operation="replace",
+            summary={
+                "compacted_generations": old_gens,
+                "generation": new_gen,
+                "n_docs": manifest["n_docs"],
+            },
+        )
+        return manifest
+
     new_dir = index_dir.rstrip("/") + "_compacting"
     shutil.rmtree(new_dir, ignore_errors=True)
-    manifest = build_index(spark, pages, new_dir, cfg, generation=0)
+    manifest = build_index(
+        spark, pages, new_dir, cfg, generation=0, register=False
+    )
+    # carry the lineage log across the swap: history records remain
+    # auditable even though their data files die with the old directory
+    log = os.path.join(index_dir, "snapshots.jsonl")
+    if os.path.exists(log):
+        shutil.copy2(log, os.path.join(new_dir, "snapshots.jsonl"))
+    commit_manifest(
+        new_dir,
+        generations=[0],
+        strategy_check=cfg.checksum(),
+        tombstones=None,
+        operation="replace",
+        summary={
+            "compacted_generations": old_gens,
+            "generation": 0,
+            "n_docs": manifest["n_docs"],
+            "history_expired": True,
+        },
+    )
     old_dir = index_dir.rstrip("/") + "_old"
     shutil.rmtree(old_dir, ignore_errors=True)
     os.rename(index_dir, old_dir)
@@ -220,8 +305,13 @@ class CompactionPolicy:
 
 
 def _tombstone_rows(index_dir: str) -> int:
-    """Row count of the tombstone table from parquet footers only."""
-    tomb_path = os.path.join(index_dir, "tombstones")
+    """Row count of the current tombstone version from parquet footers only."""
+    from ..index.snapshots import resolve_tombstone_dir
+
+    name = resolve_tombstone_dir(index_dir)
+    if name is None:
+        return 0
+    tomb_path = os.path.join(index_dir, name)
     if not os.path.exists(tomb_path):
         return 0
     import pyarrow.parquet as pq
