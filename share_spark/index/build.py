@@ -289,6 +289,54 @@ def build_termdoc(docs: DataFrame, analyzer: str) -> DataFrame:
     return docs.select(*sel).mapInPandas(_count_batches, schema=TERMDOC_SCHEMA)
 
 
+def decode_termdoc(blocks: DataFrame, postings_codec: str) -> DataFrame:
+    """Inverse of the posting-block encoder: decode blocks back to
+    (term, doc_id, tf, dl, pos_bin, gen) rows, each posting's positional
+    run re-encoded in build_termdoc's own layout (first absolute, then
+    gaps, varint).  This is what lets compaction MERGE segments at the
+    posting level — decode, drop dead docs, re-encode — instead of
+    re-tokenizing the corpus (Lucene's segment merge vs re-index; at web
+    scale the avoided analyze pass is the entire corpus' CPU cost, and the
+    merge becomes IO-bound).  Map-side only: no shuffle here, the caller
+    feeds the rows into the build's own salted exchange."""
+    from .codec import delta_encode_blocks
+
+    codec = get_codec(postings_codec)
+    schema = T.StructType(
+        list(TERMDOC_SCHEMA) + [T.StructField("gen", T.IntegerType())]
+    )
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ns = pdf["n"].to_numpy(dtype=np.int64)
+            ids = codec.decode_delta(pdf["docs_bin"], ns).astype(np.int64)
+            tfs = codec.decode_plain(pdf["tfs_bin"], ns).astype(np.int64)
+            dls = codec.decode_plain(pdf["dls_bin"], ns).astype(np.int64)
+            pos_abs = np.asarray(
+                codec.decode_runs(pdf["pos_bin"], ns, tfs), dtype=np.int64
+            )
+            rends = np.cumsum(tfs)
+            rstarts = rends - tfs
+            yield pd.DataFrame(
+                {
+                    "term": np.repeat(pdf["term"].to_numpy(), ns),
+                    "doc_id": ids,
+                    "tf": tfs.astype(np.int32),
+                    "dl": dls.astype(np.int32),
+                    "pos_bin": delta_encode_blocks(pos_abs, rstarts, rends),
+                    "gen": np.repeat(
+                        pdf["gen"].to_numpy(dtype=np.int32), ns
+                    ),
+                }
+            )
+
+    return blocks.select(
+        "term", "n", "docs_bin", "tfs_bin", "dls_bin", "pos_bin", "gen"
+    ).mapInPandas(_decode, schema=schema)
+
+
 def _make_block_encoder(cfg: IndexConfig):
     """Posting-block encoder for one range partition — fully vectorized.
 
@@ -471,6 +519,8 @@ def build_index(
     generation: int = 0,
     register: bool = True,
     assume_unique_ids: bool = False,
+    docs_df: DataFrame | None = None,
+    termdoc_df: DataFrame | None = None,
 ) -> dict:
     """Full batch index build (see _build_index_impl for the DAG).
 
@@ -483,7 +533,7 @@ def build_index(
     with batch_sql_conf(spark):
         return _build_index_impl(
             spark, pages, index_dir, cfg, resume, generation, register,
-            assume_unique_ids,
+            assume_unique_ids, docs_df, termdoc_df,
         )
 
 
@@ -496,6 +546,8 @@ def _build_index_impl(
     generation: int = 0,
     register: bool = True,
     assume_unique_ids: bool = False,
+    docs_df: DataFrame | None = None,
+    termdoc_df: DataFrame | None = None,
 ) -> dict:
     """Full batch index build; returns the manifest dict.
 
@@ -508,11 +560,17 @@ def _build_index_impl(
     re-ingested doc live twice (call register_generation afterwards).
     `assume_unique_ids=True` skips the intra-batch doc_id dedup shuffle when
     the producer guarantees unique ids.
+    `docs_df` / `termdoc_df` inject pre-computed stage inputs (DOCS_SCHEMA /
+    TERMDOC_SCHEMA shapes) in place of extract / tokenize — the posting-level
+    segment-merge path (streaming.incremental.compact mode="merge") feeds
+    decoded live postings through the very same salted shuffle + encoders,
+    so a merged index is byte-equivalent to a rebuilt one minus the analyze
+    pass. `pages` may be None when both are given.
     """
     import time as _time
 
     cfg = cfg or IndexConfig()
-    if not assume_unique_ids:
+    if docs_df is None and not assume_unique_ids:
         pages = dedup_pages(pages)
     gdir = os.path.join(index_dir, f"gen{generation}")
     os.makedirs(gdir, exist_ok=True)
@@ -538,7 +596,11 @@ def _build_index_impl(
 
     # stage 1: docs (extract + doc_len)
     if not (resume and _stage_done(gdir, "docs")):
-        docs = build_docs(spark, pages, cfg.analyzer)
+        docs = (
+            docs_df
+            if docs_df is not None
+            else build_docs(spark, pages, cfg.analyzer)
+        )
         docs.write.mode("overwrite").parquet(docs_path)
         _refresh(docs_path)
         _mark_done(gdir, "docs")
@@ -567,7 +629,11 @@ def _build_index_impl(
     if not (resume and _stage_done(gdir, "postings")):
         n_parts = cfg.n_partitions or spark.sparkContext.defaultParallelism
         window = min(cfg.chunk_docs * cfg.salt_chunks, 1 << 62)
-        termdoc = build_termdoc(docs, cfg.analyzer)
+        termdoc = (
+            termdoc_df
+            if termdoc_df is not None
+            else build_termdoc(docs, cfg.analyzer)
+        )
         (
             termdoc.repartition(
                 n_parts,

@@ -198,6 +198,7 @@ def compact(
     index_dir: str,
     cfg: IndexConfig | None = None,
     keep_history: bool = False,
+    mode: str = "merge",
 ) -> dict:
     """Merge all generations into one: live docs only, fresh global stats.
 
@@ -205,6 +206,17 @@ def compact(
     backfill-to-new-index + alias swap (elastic8.py:222-239), committed as
     an Iceberg-style "replace" snapshot either way:
 
+    - ``mode="merge"`` (default): a POSTING-LEVEL segment merge — decode
+      every generation's blocks back to posting rows (build.decode_termdoc,
+      the encoder's exact inverse), drop tombstoned rows, and feed the
+      build's own salted shuffle + block encoders.  The corpus is never
+      re-analyzed: at web scale the skipped extract+tokenize pass is the
+      whole corpus' CPU cost, and the merge is IO-bound like Lucene's.
+      Results are identical to a rebuild (same rows into the same encoder).
+      Falls back to "rebuild" automatically when `cfg` changes the
+      analyzer (terms are baked into the postings).
+    - ``mode="rebuild"``: re-extract + re-tokenize the live docs' stored
+      text — the strategy-migration path (new analyzer / k1 / b).
     - ``keep_history=False`` (default): the new single-generation index is
       built in a sibling directory and atomically swapped in; the lineage
       log is carried across the swap, but the PRE-compaction snapshots'
@@ -219,23 +231,52 @@ def compact(
     `cfg` defaults to the index's own registered config — compaction is a
     rewrite, so a different strategy here IS allowed when passed explicitly
     (this is how a strategy migration reindexes in place)."""
-    from ..index.build import commit_manifest
+    from ..index.build import DOCS_SCHEMA, commit_manifest, decode_termdoc
 
-    cfg = cfg or config_of(index_dir)
+    registered = config_of(index_dir)
+    cfg = cfg or registered
+    if mode not in ("merge", "rebuild"):
+        raise ValueError(f"unknown compact mode {mode!r}")
+    if mode == "merge" and cfg.analyzer != registered.analyzer:
+        mode = "rebuild"  # terms are baked; a new analyzer must re-tokenize
     reader = IndexReader.open(spark, index_dir)
     old_gens = list(reader.manifest["generations"])
     docs = reader.live_docs()
     # tombstones normally leave exactly one live row per doc; belt and
     # braces for crash windows between gen build and tombstone write
     docs = docs.dropDuplicates(["doc_id"])
-    pages = docs.select(
-        "doc_id", "url", "lang", F.col("text_norm").alias("text")
-    )
+    doc_cols = [f.name for f in DOCS_SCHEMA]
+
+    pages = docs_df = termdoc_df = None
+    if mode == "merge":
+        docs_df = docs.select(*doc_cols)
+        termdoc_df = decode_termdoc(reader.postings(), reader.postings_codec)
+        tomb = reader.tombstones()
+        if tomb is not None:
+            # un-hinted like every tombstone join: AQE broadcasts small
+            # sets, shuffles unbounded ones
+            termdoc_df = (
+                termdoc_df.join(tomb, "doc_id", "left")
+                .filter(
+                    F.col("before_gen").isNull()
+                    | (F.col("gen") >= F.col("before_gen"))
+                )
+                .drop("before_gen")
+            )
+        termdoc_df = termdoc_df.drop("gen")
+    else:
+        # path_key rides along so a field-scoped index keeps its per-path
+        # term namespaces through the re-tokenize
+        pages = docs.select(
+            "doc_id", "url", "lang", "path_key",
+            F.col("text_norm").alias("text"),
+        )
 
     if keep_history:
         new_gen = max(old_gens) + 1
         manifest = build_index(
-            spark, pages, index_dir, cfg, generation=new_gen, register=False
+            spark, pages, index_dir, cfg, generation=new_gen, register=False,
+            assume_unique_ids=True, docs_df=docs_df, termdoc_df=termdoc_df,
         )
         commit_manifest(
             index_dir,
@@ -247,6 +288,7 @@ def compact(
                 "compacted_generations": old_gens,
                 "generation": new_gen,
                 "n_docs": manifest["n_docs"],
+                "mode": mode,
             },
         )
         return manifest
@@ -254,13 +296,19 @@ def compact(
     new_dir = index_dir.rstrip("/") + "_compacting"
     shutil.rmtree(new_dir, ignore_errors=True)
     manifest = build_index(
-        spark, pages, new_dir, cfg, generation=0, register=False
+        spark, pages, new_dir, cfg, generation=0, register=False,
+        assume_unique_ids=True, docs_df=docs_df, termdoc_df=termdoc_df,
     )
     # carry the lineage log across the swap: history records remain
     # auditable even though their data files die with the old directory
     log = os.path.join(index_dir, "snapshots.jsonl")
     if os.path.exists(log):
         shutil.copy2(log, os.path.join(new_dir, "snapshots.jsonl"))
+    # ... and the field index's frow<->doc mapping (index-level sidecar,
+    # generation-independent: frow ids are deterministic per (doc, path))
+    fmap = os.path.join(index_dir, "fieldmap")
+    if os.path.exists(fmap):
+        shutil.copytree(fmap, os.path.join(new_dir, "fieldmap"))
     commit_manifest(
         new_dir,
         generations=[0],
@@ -271,6 +319,7 @@ def compact(
             "compacted_generations": old_gens,
             "generation": 0,
             "n_docs": manifest["n_docs"],
+            "mode": mode,
             "history_expired": True,
         },
     )
@@ -279,6 +328,10 @@ def compact(
     os.rename(index_dir, old_dir)
     os.rename(new_dir, index_dir)
     shutil.rmtree(old_dir, ignore_errors=True)
+    # the swap replaced every file under index_dir; Spark's session-wide
+    # FileStatusCache would otherwise serve the dead build's listings to
+    # the next read of the same paths
+    spark.catalog.refreshByPath(index_dir)
     return manifest
 
 
