@@ -173,6 +173,22 @@ def run(spark=None, emit=True) -> dict:
     results["query_after_ingest"] = round(min(qi), 3)
     ingest_docs_per_sec = inc_manifest["n_docs"] / ingest_s
 
+    # --- posting-level segment merge: fold both generations back into one
+    # (decode -> drop dead -> re-encode; never re-tokenizes), then one
+    # query to show single-generation latency is restored
+    from share_spark.streaming.incremental import compact
+
+    t0 = time.time()
+    compact(spark, idx_dir, mode="merge")
+    results["compact_merge"] = round(time.time() - t0, 3)
+    idx3 = IndexReader.open(spark, idx_dir)
+    qc = []
+    for _ in range(2):
+        t0 = time.time()
+        wand_topk(idx3, "data science", k=13).collect()
+        qc.append(time.time() - t0)
+    results["query_after_compact"] = round(min(qc), 3)
+
     # --- pipeline ops over the driver tables ------------------------------
     from share_spark.queries import QUERIES
 
