@@ -88,12 +88,15 @@ def _cmd_query(args: argparse.Namespace) -> dict:
     from .query.wand import wand_topk
 
     spark = _get_spark("share_spark_query")
-    idx = IndexReader.open(spark, args.index_dir)
+    idx = IndexReader.open(
+        spark, args.index_dir, snapshot_id=args.snapshot_id
+    )
     t0 = time.time()
     rows = wand_topk(idx, args.query, k=args.k, offset=args.offset).collect()
     return {
         "cmd": "query",
         "query": args.query,
+        "snapshot_id": args.snapshot_id,
         "latency_s": round(time.time() - t0, 3),
         "hits": [
             {"rank": r["rank"], "doc_id": r["doc_id"], "score": r["score"]}
@@ -170,6 +173,9 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--query", required=True)
     q.add_argument("-k", type=int, default=13)
     q.add_argument("--offset", type=int, default=0)
+    q.add_argument("--snapshot-id", type=int, default=None,
+                   help="time-travel: answer as of this commit in the "
+                        "lineage log (see the `snapshots` command)")
     q.set_defaults(fn=_cmd_query)
 
     e = sub.add_parser("expel", help="soft-delete docs in all generations")

@@ -75,6 +75,24 @@ def test_cli_ingest_and_compact_lifecycle(spark, pages_pdf, tmp_path_factory):
     hits4 = _run("query", "--index-dir", idx, "--query", "danger", "-k", "3")
     assert top not in [h["doc_id"] for h in hits4["hits"]]
 
+    # lineage surface: every lifecycle step above left a snapshot record;
+    # a time-travel query at the pre-expel commit still sees the victim
+    snaps = _run("snapshots", "--index-dir", idx)["snapshots"]
+    assert [s["operation"] for s in snaps[-2:]] == ["replace", "delete"]
+    pre_expel = snaps[-2]["snapshot_id"]
+    tt = _run("query", "--index-dir", idx, "--query", "danger", "-k", "3",
+              "--snapshot-id", str(pre_expel))
+    assert [h["doc_id"] for h in tt["hits"]] == [
+        h["doc_id"] for h in hits3["hits"]
+    ]
+    # expiry keeps the current snapshot answering and reclaims the rest
+    exp = _run("expire", "--index-dir", idx, "--keep", "1")
+    assert pre_expel in exp["expired"]
+    hits5 = _run("query", "--index-dir", idx, "--query", "danger", "-k", "3")
+    assert [h["doc_id"] for h in hits5["hits"]] == [
+        h["doc_id"] for h in hits4["hits"]
+    ]
+
 
 def test_cli_build_query_resume(pages_parquet, tmp_path_factory):
     idx = str(tmp_path_factory.mktemp("cli_idx") / "idx")
