@@ -825,10 +825,12 @@ def commit_manifest(
             manifest.pop("tombstones", None)
         else:
             manifest["tombstones"] = tombstones
-    tmp = manifest_path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(manifest, f, indent=1, sort_keys=True)
-    os.replace(tmp, manifest_path)
+    # WAL ordering: append the snapshot record FIRST, then swap the
+    # manifest (the visibility point).  A crash between the two leaves a
+    # log record for a commit that never became current — harmless (its
+    # data dirs exist, time travel to it works) — whereas the reverse
+    # order could reuse a snapshot id, and with it a tombstone-version
+    # dir name the now-current manifest already references.
     commit_snapshot(
         index_dir,
         operation=operation,
@@ -836,6 +838,10 @@ def commit_manifest(
         tombstones=manifest.get("tombstones"),
         summary=summary,
     )
+    tmp = manifest_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    os.replace(tmp, manifest_path)
     return manifest
 
 

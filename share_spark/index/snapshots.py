@@ -53,12 +53,28 @@ def log_path(index_dir: str) -> str:
 
 
 def read_snapshots(index_dir: str) -> list[dict]:
-    """All retained snapshot records, oldest first ([] when no log)."""
+    """All retained snapshot records, oldest first ([] when no log).
+
+    Tolerates a torn FINAL line (a crash mid-append): the commit it
+    belonged to never completed, so dropping it is exactly correct.  A
+    torn line anywhere else is real corruption and raises."""
     path = log_path(index_dir)
     if not os.path.exists(path):
         return []
     with open(path) as f:
-        return [json.loads(line) for line in f if line.strip()]
+        lines = [ln for ln in f.read().splitlines() if ln.strip()]
+    records = []
+    for i, ln in enumerate(lines):
+        try:
+            records.append(json.loads(ln))
+        except json.JSONDecodeError:
+            if i == len(lines) - 1:
+                break
+            raise ValueError(
+                f"corrupt snapshot log {path}: undecodable record {i} "
+                f"of {len(lines)}"
+            )
+    return records
 
 
 def current_snapshot(index_dir: str) -> dict | None:
@@ -122,8 +138,30 @@ def commit_snapshot(
         "tombstones": tombstones,
         "summary": summary or {},
     }
-    records.append(rec)
-    _write_log(index_dir, records)
+    # O(1) append, not a rewrite: at 10^5+ micro-batch commits a
+    # rewrite-per-commit would be quadratic in cumulative metadata IO.
+    # Crash mid-append leaves a torn final line, which read_snapshots
+    # drops (that commit's manifest swap is what makes state visible, and
+    # it happens before this append — see commit_manifest ordering note).
+    path = log_path(index_dir)
+    if os.path.exists(path):
+        # repair a torn tail from a crashed append (file not ending in
+        # newline): truncate back to the last complete record so the
+        # garbage never ends up mid-file
+        with open(path, "rb+") as f:
+            f.seek(0, os.SEEK_END)
+            size = f.tell()
+            if size:
+                f.seek(size - 1)
+                if f.read(1) != b"\n":
+                    f.seek(0)
+                    keep = f.read().rfind(b"\n") + 1
+                    f.truncate(keep)
+    line = json.dumps(rec, sort_keys=True) + "\n"
+    with open(path, "a") as f:
+        f.write(line)
+        f.flush()
+        os.fsync(f.fileno())
     return rec
 
 

@@ -170,6 +170,33 @@ def test_serve_tier_follows_tombstone_versions(spark, lineage_index):
     assert after == before - {next_victim}
 
 
+def test_torn_log_tail_is_dropped_and_repaired(spark, tmp_path):
+    """A crash mid-append leaves a partial final line: reads drop it (that
+    commit never became current) and the next commit truncates it away
+    instead of burying garbage mid-file."""
+    from share_spark.index.snapshots import log_path
+
+    pages = make_web_pages(60, seed=2)
+    d = str(tmp_path / "idx")
+    build_index(spark, spark.createDataFrame(pages), d, CFG)
+    with open(log_path(d), "a") as f:
+        f.write('{"snapshot_id": 1, "parent')  # torn append, no newline
+    recs = read_snapshots(d)
+    assert [r["snapshot_id"] for r in recs] == [0]
+
+    victim = sorted(_hits(IndexReader.open(spark, d), "danger"))[0]
+    expel(spark, d, [victim])
+    recs = read_snapshots(d)  # torn line gone, clean id sequence
+    assert [r["snapshot_id"] for r in recs] == [0, 1]
+    assert recs[-1]["operation"] == "delete"
+    # log is fully parseable line by line (no mid-file garbage)
+    import json as _json
+
+    with open(log_path(d)) as f:
+        for ln in f:
+            _json.loads(ln)
+
+
 def test_legacy_layout_without_log_still_works(spark, tmp_path):
     """Indexes written before the snapshot log (in-place `tombstones` dir,
     no manifest pointer, no snapshots.jsonl) stay fully readable and
