@@ -26,9 +26,11 @@ This module grafts those semantics onto the index directory:
   directories unreachable from the retained records (and nothing the
   current manifest still references).
 
-Commit protocol: the log is rewritten whole via tmp-write + ``os.replace``
-(same single-writer, torn-read-free discipline as the manifest — the log
-is metadata-sized: one small record per commit, not per row).
+Commit protocol: single writer; each commit APPENDS one fsynced line
+(O(1) — a rewrite-per-commit would be quadratic over 10^5+ micro-batch
+commits), write-ahead of the manifest swap that makes the commit visible
+(share_spark/index/build.py ``commit_manifest``).  Only the pruning path
+(:func:`expire_snapshots`) rewrites the log, via tmp-write + ``os.replace``.
 """
 
 from __future__ import annotations
@@ -140,9 +142,11 @@ def commit_snapshot(
     }
     # O(1) append, not a rewrite: at 10^5+ micro-batch commits a
     # rewrite-per-commit would be quadratic in cumulative metadata IO.
+    # This append is a WRITE-AHEAD record: it lands before the manifest
+    # swap that makes the commit visible (commit_manifest ordering note).
     # Crash mid-append leaves a torn final line, which read_snapshots
-    # drops (that commit's manifest swap is what makes state visible, and
-    # it happens before this append — see commit_manifest ordering note).
+    # drops — that commit never swapped its manifest, so dropping it is
+    # exactly correct.
     path = log_path(index_dir)
     if os.path.exists(path):
         # repair a torn tail from a crashed append (file not ending in

@@ -588,3 +588,84 @@ def repetition_metrics(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
         F.coalesce("top_trigram_frac", F.lit(0.0)).alias("top_trigram_frac"),
     )
+
+
+def dedup_lines(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Cross-document line deduplication (the C4 / RefinedWeb boilerplate
+    pass — published method: Raffel et al. 2020 §2.2 dedupe repeated spans
+    corpus-wide; Penedo et al. 2023 §3.3 drop lines repeated across pages).
+    Distinct from :func:`repetition_metrics`, which is within-document.
+
+    Every non-empty line that occurs in the corpus `min_occurrences` or
+    more times is kept ONLY at its first occurrence (smallest (doc_id,
+    line_no)) and removed everywhere else.  Empty lines never participate
+    and are always kept, so document structure survives.  Returns one row
+    per input doc: (doc_id, text, n_lines, n_removed) with `text` the
+    reassembled cleaned document.
+
+    Scale shape (100 TB): posexplode -> groupBy(line hash) with
+    min(struct(doc_id, line_no)) + count — both algebraic, so map-side
+    partial aggregation absorbs boilerplate-line skew ("Home", cookie
+    banners: millions of occurrences collapse to one partial per input
+    partition before the shuffle).  The keeper join is hash-keyed on the
+    line hash; head keys on the probe side are exactly the boilerplate
+    lines, which AQE skew-join splits.  Reassembly is a per-doc sort_array
+    over collected (line_no, line) structs — grouped by doc_id, so nothing
+    corpus-sized converges anywhere.  Line identity uses xxhash64(line):
+    at 2^64 a trillion-line corpus has ~3e-8 collision odds per pair of
+    distinct lines; collisions only ever remove a line, never corrupt one.
+    """
+    if min_occurrences < 2:
+        raise ValueError("min_occurrences must be >= 2 (1 would drop every line)")
+    lines = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col(text_col), r"\n")).alias("line_no", "_ln"),
+    )
+    body = lines.filter(F.col("_ln") != "").withColumn(
+        "_h", F.xxhash64(F.col("_ln"))
+    )
+    keepers = body.groupBy("_h").agg(
+        F.min(F.struct("doc_id", "line_no")).alias("_first"),
+        F.count("*").alias("_occ"),
+    )
+    kept_body = (
+        body.join(keepers, "_h")
+        .filter(
+            (F.col("_occ") < F.lit(min_occurrences))
+            | (
+                (F.col("doc_id") == F.col("_first.doc_id"))
+                & (F.col("line_no") == F.col("_first.line_no"))
+            )
+        )
+        .select("doc_id", "line_no", "_ln")
+    )
+    kept = kept_body.unionByName(
+        lines.filter(F.col("_ln") == "").select("doc_id", "line_no", "_ln")
+    )
+    stats = lines.groupBy("doc_id").agg(F.count("*").alias("n_lines"))
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("line_no", "_ln"))),
+                    lambda s: s["_ln"],
+                ),
+                "\n",
+            ).alias("text"),
+            F.count("*").alias("n_kept"),
+        )
+        .join(stats, "doc_id", "right")
+        .select(
+            "doc_id",
+            F.coalesce("text", F.lit("")).alias("text"),
+            "n_lines",
+            (F.col("n_lines") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )

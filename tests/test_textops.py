@@ -276,3 +276,80 @@ def test_simhash_rejects_lossy_bits(docs):
         textops.simhash(docs, bits=64)
     with pytest.raises(ValueError):
         textops.simhash(docs, bits=0)
+
+
+@pytest.fixture(scope="module")
+def line_docs(spark):
+    rows = [
+        (0, "unique alpha\ncookie banner\n\nbody zero"),
+        (1, "cookie banner\nunique beta\nshared tail"),
+        (2, "cookie banner\nshared tail\n\nunique gamma"),
+        (3, ""),
+        (4, "only once\n\n\nlast line"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    df = spark.createDataFrame(pdf).cache()
+    df.count()
+    return df, pdf
+
+
+def _line_dedup_oracle(pdf, min_occurrences=2):
+    """Pandas twin: first (doc_id, line_no) keeps a repeated non-empty line."""
+    occ = {}
+    split = {}
+    for r in pdf.sort_values("doc_id").itertuples():
+        lns = r.text.split("\n")
+        split[r.doc_id] = lns
+        for ln in lns:
+            if ln:
+                occ[ln] = occ.get(ln, 0) + 1
+    seen = set()
+    out = {}
+    for doc_id in sorted(split):
+        kept = []
+        removed = 0
+        for ln in split[doc_id]:
+            if not ln:
+                kept.append(ln)
+            elif occ[ln] < min_occurrences or ln not in seen:
+                kept.append(ln)
+                seen.add(ln)
+            else:
+                removed += 1
+        out[doc_id] = ("\n".join(kept), len(split[doc_id]), removed)
+    return out
+
+
+def test_dedup_lines_matches_oracle(line_docs):
+    df, pdf = line_docs
+    got = {
+        r["doc_id"]: (r["text"], r["n_lines"], r["n_removed"])
+        for r in textops.dedup_lines(df).collect()
+    }
+    assert got == _line_dedup_oracle(pdf)
+
+
+def test_dedup_lines_threshold_three(line_docs):
+    df, pdf = line_docs
+    got = {
+        r["doc_id"]: (r["text"], r["n_lines"], r["n_removed"])
+        for r in textops.dedup_lines(df, min_occurrences=3).collect()
+    }
+    # "shared tail" occurs twice -> under threshold 3 it survives everywhere
+    assert got == _line_dedup_oracle(pdf, min_occurrences=3)
+    assert "shared tail" in got[2][0]
+
+
+def test_dedup_lines_preserves_structure(line_docs):
+    df, _ = line_docs
+    got = {r["doc_id"]: r for r in textops.dedup_lines(df).collect()}
+    # doc 4 has no cross-doc duplicates: byte-identical round trip
+    assert got[4]["text"] == "only once\n\n\nlast line"
+    assert got[4]["n_removed"] == 0
+    # the all-empty doc round-trips as one empty line
+    assert got[3]["text"] == "" and got[3]["n_lines"] == 1
+
+
+def test_dedup_lines_guard():
+    with pytest.raises(ValueError):
+        textops.dedup_lines(None, min_occurrences=1)
