@@ -234,3 +234,45 @@ def test_legacy_layout_without_log_still_works(spark, tmp_path):
     upgraded = IndexReader.open(spark, d)
     assert upgraded.tombstone_dir == "tombstones_v0"
     assert set(victims + more).isdisjoint(_hits(upgraded, "danger"))
+
+
+def test_crash_between_wal_append_and_manifest_swap(spark, lineage_index):
+    """A crash after the snapshot-log append but before the manifest swap
+    (the WAL window in build.py commit_manifest) must leave the index fully
+    usable: readers see the pre-crash state, the orphan record stays
+    time-travelable, and the next real commit takes a FRESH snapshot id —
+    never reusing the orphan's (id reuse would recycle tombstone-version
+    dir names the current manifest may reference)."""
+    import json
+    import os
+
+    from share_spark.index.snapshots import commit_snapshot
+
+    d, target, victim = lineage_index
+    pre_hits = _hits(IndexReader.open(spark, d), "danger")
+    with open(os.path.join(d, "manifest.json")) as f:
+        manifest = json.load(f)
+
+    # emulate the crash: WAL record lands, manifest swap never happens
+    orphan = commit_snapshot(
+        d,
+        operation="delete",
+        generations=manifest["generations"],
+        tombstones=manifest.get("tombstones"),
+        summary={"crashed": True},
+    )
+    assert orphan["snapshot_id"] == 3
+
+    # current reads are untouched (manifest is the visibility point)
+    assert _hits(IndexReader.open(spark, d), "danger") == pre_hits
+    # the orphan names only dirs that exist -> time travel to it works
+    assert _hits(IndexReader.open(spark, d, snapshot_id=3), "danger") == pre_hits
+
+    # recovery: the next real commit chains AFTER the orphan
+    survivor = sorted(pre_hits)[0]
+    expel(spark, d, [survivor])
+    recs = read_snapshots(d)
+    assert [r["snapshot_id"] for r in recs] == [0, 1, 2, 3, 4]
+    assert recs[-1]["parent_id"] == 3
+    assert recs[-1]["tombstones"] == "tombstones_v4"
+    assert _hits(IndexReader.open(spark, d), "danger") == pre_hits - {survivor}
