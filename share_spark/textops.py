@@ -612,10 +612,12 @@ def dedup_lines(
     partial aggregation absorbs boilerplate-line skew ("Home", cookie
     banners: millions of occurrences collapse to one partial per input
     partition before the shuffle).  The keeper join is hash-keyed on the
-    line hash; head keys on the probe side are exactly the boilerplate
-    lines, which AQE skew-join splits.  Reassembly is a per-doc sort_array
-    over collected (line_no, line) structs — grouped by doc_id, so nothing
-    corpus-sized converges anywhere.  Line identity uses xxhash64(line):
+    line hash (empty lines carry a null key, so they pass the left join
+    untouched); head keys on the probe side are exactly the boilerplate
+    lines, which AQE skew-join splits.  Keep/drop is decided as a flag so
+    ONE per-doc aggregation reassembles text AND counts lines — the text
+    column is scanned twice total (keeper agg + flag join), with nothing
+    corpus-sized converging anywhere.  Line identity uses xxhash64(line):
     at 2^64 a trillion-line corpus has ~3e-8 collision odds per pair of
     distinct lines; collisions only ever remove a line, never corrupt one.
     """
@@ -624,48 +626,41 @@ def dedup_lines(
     lines = docs.select(
         "doc_id",
         F.posexplode(F.split(F.col(text_col), r"\n")).alias("line_no", "_ln"),
+    ).withColumn(
+        "_h", F.when(F.col("_ln") != "", F.xxhash64(F.col("_ln")))
     )
-    body = lines.filter(F.col("_ln") != "").withColumn(
-        "_h", F.xxhash64(F.col("_ln"))
-    )
-    keepers = body.groupBy("_h").agg(
-        F.min(F.struct("doc_id", "line_no")).alias("_first"),
-        F.count("*").alias("_occ"),
-    )
-    kept_body = (
-        body.join(keepers, "_h")
-        .filter(
-            (F.col("_occ") < F.lit(min_occurrences))
-            | (
-                (F.col("doc_id") == F.col("_first.doc_id"))
-                & (F.col("line_no") == F.col("_first.line_no"))
-            )
-        )
-        .select("doc_id", "line_no", "_ln")
-    )
-    kept = kept_body.unionByName(
-        lines.filter(F.col("_ln") == "").select("doc_id", "line_no", "_ln")
-    )
-    stats = lines.groupBy("doc_id").agg(F.count("*").alias("n_lines"))
-    return (
-        kept.groupBy("doc_id")
+    keepers = (
+        lines.filter(F.col("_h").isNotNull())
+        .groupBy("_h")
         .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("line_no", "_ln"))),
-                    lambda s: s["_ln"],
+            F.min(F.struct("doc_id", "line_no")).alias("_first"),
+            F.count("*").alias("_occ"),
+        )
+    )
+    flagged = lines.join(keepers, "_h", "left").withColumn(
+        "_keep",
+        F.col("_h").isNull()
+        | (F.col("_occ") < F.lit(min_occurrences))
+        | (
+            (F.col("doc_id") == F.col("_first.doc_id"))
+            & (F.col("line_no") == F.col("_first.line_no"))
+        ),
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.filter(
+                    F.array_sort(
+                        F.collect_list(F.struct("line_no", "_ln", "_keep"))
+                    ),
+                    lambda s: s["_keep"],
                 ),
-                "\n",
-            ).alias("text"),
-            F.count("*").alias("n_kept"),
-        )
-        .join(stats, "doc_id", "right")
-        .select(
-            "doc_id",
-            F.coalesce("text", F.lit("")).alias("text"),
-            "n_lines",
-            (F.col("n_lines") - F.coalesce("n_kept", F.lit(0)))
-            .cast("long")
-            .alias("n_removed"),
-        )
+                lambda s: s["_ln"],
+            ),
+            "\n",
+        ).alias("text"),
+        F.count("*").alias("n_lines"),
+        F.sum(F.when(~F.col("_keep"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_removed"),
     )
