@@ -27,7 +27,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -48,12 +48,25 @@ POSTINGS_SCHEMA = T.StructType(
 
 @dataclass(frozen=True)
 class ParsedQuery:
-    """AND-of-terms + phrases, with negations (SURVEY.md §2.8)."""
+    """AND-of-terms + phrases + prefix clauses, with negations (SURVEY.md
+    §2.8). A prefix clause (`dang*` — the simple_query_string PREFIX flag,
+    on by default in ES) is a required membership constraint scored as a
+    CONSTANT (+1.0 per clause), mirroring Lucene's constant-score
+    multi-term rewrite; under AND semantics the constant is uniform over
+    every result, so ranking is unaffected and rank identity across the
+    exact/WAND/serve paths holds by construction."""
 
     terms: tuple[str, ...]  # positive terms (from bare words AND phrase words)
     phrases: tuple[tuple[str, ...], ...]
     neg_terms: tuple[str, ...]
     neg_phrases: tuple[tuple[str, ...], ...] = field(default_factory=tuple)
+    prefixes: tuple[str, ...] = field(default_factory=tuple)
+    neg_prefixes: tuple[str, ...] = field(default_factory=tuple)
+
+
+#: Constant score contribution of one matched positive prefix clause
+#: (the Lucene CONSTANT_SCORE rewrite analog).
+PREFIX_SCORE = 1.0
 
 
 _QUERY_TOKEN_RE = re.compile(r'(-?)"([^"]*)"|(-?)(\S+)')
@@ -64,6 +77,8 @@ def parse_query(text: str, analyzer: str = "standard") -> ParsedQuery:
     phrases: list[tuple[str, ...]] = []
     neg_terms: list[str] = []
     neg_phrases: list[tuple[str, ...]] = []
+    prefixes: list[str] = []
+    neg_prefixes: list[str] = []
     for m in _QUERY_TOKEN_RE.finditer(text):
         if m.group(2) is not None:
             toks = tuple(tokenize(m.group(2), analyzer))
@@ -75,10 +90,23 @@ def parse_query(text: str, analyzer: str = "standard") -> ParsedQuery:
                 phrases.append(toks)
                 terms.extend(toks)
         else:
-            toks = tokenize(m.group(4), analyzer)
+            word = m.group(4)
+            neg = m.group(3) == "-"
+            is_prefix = word.endswith("*") and len(word.rstrip("*")) > 0
+            toks = tokenize(word.rstrip("*") if is_prefix else word, analyzer)
             if not toks:
                 continue
-            if m.group(3) == "-":
+            if is_prefix:
+                # the prefix applies to the trailing token; any tokens the
+                # analyzer split off before it are plain terms
+                head, tail = toks[:-1], toks[-1]
+                if neg:
+                    neg_terms.extend(head)
+                    neg_prefixes.append(tail)
+                else:
+                    terms.extend(head)
+                    prefixes.append(tail)
+            elif neg:
                 neg_terms.extend(toks)
             else:
                 terms.extend(toks)
@@ -87,6 +115,8 @@ def parse_query(text: str, analyzer: str = "standard") -> ParsedQuery:
         tuple(phrases),
         tuple(dict.fromkeys(neg_terms)),
         tuple(neg_phrases),
+        tuple(dict.fromkeys(prefixes)),
+        tuple(dict.fromkeys(neg_prefixes)),
     )
 
 
@@ -136,10 +166,16 @@ def decode_blocks(blocks: DataFrame, codec_name: str = "varint") -> DataFrame:
     return blocks.mapInPandas(_decode, schema=POSTINGS_SCHEMA)
 
 
-def live_postings(index: IndexReader, terms: list[str]) -> DataFrame:
-    """Decoded posting rows for `terms`, with generation-scoped tombstones
+def live_postings(
+    index: IndexReader,
+    terms: list[str] | None = None,
+    term_cond: Column | None = None,
+) -> DataFrame:
+    """Decoded posting rows for `terms` (or any Column predicate over
+    `term` — the prefix-expansion path), with generation-scoped tombstones
     applied: a row survives unless some tombstone has before_gen > row.gen."""
-    blocks = index.postings().filter(F.col("term").isin(terms))
+    cond = term_cond if term_cond is not None else F.col("term").isin(terms)
+    blocks = index.postings().filter(cond)
     rows = decode_blocks(blocks, index.postings_codec)
     tomb = index.tombstones()
     if tomb is not None:
@@ -270,6 +306,78 @@ def _phrase_filter(index: IndexReader, candidates: DataFrame, pq: ParsedQuery) -
     return joined.filter(cond).drop(*pcols.values())
 
 
+def prefix_doc_filter(
+    index: IndexReader,
+    pq: ParsedQuery,
+    filter_docs: DataFrame | None = None,
+) -> DataFrame | None:
+    """Fold the query's prefix clauses into a doc-id restriction DataFrame:
+    a doc passes when it contains >=1 term matching EVERY positive prefix
+    and no term matching any negative prefix.  Returns `filter_docs`
+    unchanged (possibly None) when the query has no prefix clauses.
+
+    Scale shape: each clause is a startswith filter on the posting blocks
+    (term-sorted parquet -> row-group min/max pruning), decoded and
+    deduplicated distributed; clauses compose as semi/anti joins keyed by
+    doc_id and the combined set stays a lazy plan (pushed through the
+    WAND chunk-keyed aux channel or an exact-path semi-join — never
+    collected). A negative clause with no positive base restricts
+    live_docs(), the same corpus-scale semi-join the unlimited
+    valuesearch context uses."""
+    out = filter_docs.select("doc_id") if filter_docs is not None else None
+    for p in pq.prefixes:
+        s = (
+            live_postings(index, term_cond=F.col("term").startswith(p))
+            .select("doc_id")
+            .distinct()
+        )
+        out = s if out is None else out.join(s, "doc_id", "left_semi")
+    for p in pq.neg_prefixes:
+        s = (
+            live_postings(index, term_cond=F.col("term").startswith(p))
+            .select("doc_id")
+            .distinct()
+        )
+        if out is None:
+            out = index.live_docs().select("doc_id")
+        out = out.join(s, "doc_id", "left_anti")
+    return out
+
+
+def prefix_only_topk(
+    index: IndexReader,
+    pq: ParsedQuery,
+    k: int,
+    offset: int,
+    filter_docs: DataFrame,
+) -> DataFrame:
+    """Page a prefix-only query (no scoring terms): every clause is
+    constant-score, so all matches tie at PREFIX_SCORE * n_clauses and the
+    deterministic doc_id order IS the ranking. `filter_docs` must already
+    carry the folded prefix restriction (prefix_doc_filter). Shared by the
+    exact and WAND entry points — no posting-traversal kernel needed."""
+    base = filter_docs
+    if pq.neg_terms:
+        neg = live_postings(index, list(pq.neg_terms)).select("doc_id").distinct()
+        base = base.join(neg, "doc_id", "left_anti")
+    score = float(PREFIX_SCORE * len(pq.prefixes))
+    return _rank_page(
+        base.select("doc_id", F.lit(score).alias("score")), k, offset
+    )
+
+
+def _rank_page(scored: DataFrame, k: int, offset: int) -> DataFrame:
+    """top-(offset+k) then rank the tiny result (TakeOrderedAndProject:
+    per-partition heaps + single merge; the window never sees more than
+    offset+k rows)."""
+    topn = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(offset + k)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    ranked = topn.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") > offset
+    )
+    return ranked.select("doc_id", "score", "rank")
+
+
 def exact_topk(
     index: IndexReader,
     query_text: str,
@@ -282,12 +390,19 @@ def exact_topk(
     AND semantics: a doc must contain every positive term; negated terms and
     phrases filter candidates out; `filter_docs` (doc_id) restricts results
     to that set (semi-join before top-k truncation — full pages guaranteed).
+    Prefix clauses (`dang*`) constrain membership and add PREFIX_SCORE each
+    (constant-score rewrite — see ParsedQuery).
     Tie-break: ascending doc_id (deterministic ordering mirrors the
     reference's pinned orderings, _common_trovesearch_tests.py:330-337).
     """
     pq = parse_query(query_text, index.analyzer)
-    if not pq.terms:
+    if not pq.terms and not pq.prefixes:
         raise ValueError("query has no positive terms")
+    filter_docs = prefix_doc_filter(index, pq, filter_docs)
+    prefix_const = PREFIX_SCORE * len(pq.prefixes)
+
+    if not pq.terms:
+        return prefix_only_topk(index, pq, k, offset, filter_docs)
     k1, b, avgdl = index.k1, index.b, index.avgdl
 
     postings = live_postings(index, list(pq.terms))
@@ -330,13 +445,9 @@ def exact_topk(
     if filter_docs is not None:
         agg = agg.join(filter_docs.select("doc_id"), "doc_id", "left_semi")
     agg = _phrase_filter(index, agg, pq)
-
-    # top-(offset+k) first (Catalyst TakeOrderedAndProject: per-partition
-    # heaps + single merge), then rank the tiny result — the window function
-    # never sees more than offset+k rows.
-    topn = agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(offset + k)
-    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-    ranked = topn.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") > offset
-    )
-    return ranked.select("doc_id", "score", "rank")
+    if prefix_const:
+        # uniform over all results (AND semantics) — never reorders
+        agg = agg.withColumn(
+            "score", F.col("score") + F.lit(float(prefix_const))
+        )
+    return _rank_page(agg, k, offset)

@@ -46,6 +46,10 @@ def _prefixed(pq: ParsedQuery, path: str) -> ParsedQuery:
         phrases=tuple(tuple(p(t) for t in ph) for ph in pq.phrases),
         neg_terms=tuple(p(t) for t in pq.neg_terms),
         neg_phrases=tuple(tuple(p(t) for t in ph) for ph in pq.neg_phrases),
+        # stored terms are "path|term", so a term prefix scopes by
+        # prefixing the namespace the same way
+        prefixes=tuple(p(t) for t in pq.prefixes),
+        neg_prefixes=tuple(p(t) for t in pq.neg_prefixes),
     )
 
 
@@ -136,7 +140,7 @@ class FieldIndex:
         from .wand import wand_topk
 
         pq = parse_query(query_text, self.reader.analyzer)
-        if not pq.terms:
+        if not pq.terms and not pq.prefixes:
             raise ValueError("query has no positive terms")
         n_keep = offset + k
         fmap = self.fieldmap.filter(F.col("path_key").isin(list(paths)))
@@ -185,7 +189,7 @@ class FieldIndex:
         from .wand import match_docs
 
         pq = parse_query(query_text, self.reader.analyzer)
-        if not pq.terms:
+        if not pq.terms and not pq.prefixes:
             raise ValueError("query has no positive terms")
         fmap = self.fieldmap.filter(F.col("path_key").isin(list(paths)))
         frow_filter = None

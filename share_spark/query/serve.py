@@ -44,7 +44,7 @@ def _entry_nbytes(entry: tuple) -> int:
     return sum(a.nbytes for a in entry)
 
 from ..index.build import IndexReader
-from .bm25 import ParsedQuery, parse_query
+from .bm25 import PREFIX_SCORE, ParsedQuery, parse_query
 from .wand import score_term_lists
 
 _BLOCK_COLS = [
@@ -60,6 +60,11 @@ class TopKServer:
     b: float = 0.75
     analyzer: str = "standard"
     max_cached_terms: int = 4096
+    # hard bound on terms one prefix clause (`dang*`) may expand to before
+    # the server refuses the query (protects the in-process tier from a
+    # single-letter prefix decoding half the vocabulary; the distributed
+    # paths expand unbounded — they stream, this tier holds arrays)
+    max_prefix_expansions: int = 1024
     # (shard_idx, n_shards) chunk striping: this server decodes only blocks
     # whose chunk % n_shards == shard_idx. Stats (n_docs, avgdl, df) stay
     # GLOBAL — BM25 scores are identical to the unsharded server, so a
@@ -323,6 +328,35 @@ class TopKServer:
             )
         return self._dsets[key]
 
+    def _expand_prefix(self, prefix: str) -> list[str]:
+        """All index terms starting with `prefix`, via the row-group term
+        dictionaries: footer min/max prune to the row groups whose range
+        intersects [prefix, prefix+U+10FFFF), then a binary-search slice of
+        each group's sorted term array — the serving analog of Lucene's
+        term-dictionary prefix seek. Raises when the expansion exceeds
+        max_prefix_expansions (consistent refusal, never silent
+        truncation — truncating would break rank identity with the
+        distributed paths)."""
+        hi = prefix + "\U0010ffff"
+        out: set[str] = set()
+        for g in self._gens:
+            gen = g["generation"]
+            stage = self._postings_stage(gen)
+            for mn, mx, pf, rg in self._term_directory(gen, stage):
+                if mx < prefix or mn >= hi:
+                    continue
+                terms = self._rg_terms(pf, rg)
+                lo_i = np.searchsorted(terms, prefix, side="left")
+                hi_i = np.searchsorted(terms, hi, side="left")
+                out.update(terms[lo_i:hi_i].tolist())
+                if len(out) > self.max_prefix_expansions:
+                    raise ValueError(
+                        f"prefix {prefix!r}* expands to more than "
+                        f"{self.max_prefix_expansions} terms on the serve "
+                        "tier; narrow the prefix or use the distributed path"
+                    )
+        return sorted(out)
+
     def _read_row_groups(
         self, gen: int, stage: str, terms: list[str], columns: list[str]
     ) -> "pd.DataFrame | None":
@@ -513,11 +547,18 @@ class TopKServer:
         (same parse, same idf, same scoring kernel)."""
         self._load_tombstones()
         pq: ParsedQuery = parse_query(query_text, self.analyzer)
-        if not pq.terms:
+        if not pq.terms and not pq.prefixes:
             raise ValueError("query has no positive terms")
         phrase_terms = [t for ph in (pq.phrases + pq.neg_phrases) for t in ph]
+        expansions = {
+            p: self._expand_prefix(p)
+            for p in dict.fromkeys(pq.prefixes + pq.neg_prefixes)
+        }
+        exp_terms = [t for ts in expansions.values() for t in ts]
         all_terms = list(
-            dict.fromkeys(pq.terms + pq.neg_terms + tuple(phrase_terms))
+            dict.fromkeys(
+                pq.terms + pq.neg_terms + tuple(phrase_terms) + tuple(exp_terms)
+            )
         )
         with self._lock:
             self._read_terms(all_terms)
@@ -552,12 +593,59 @@ class TopKServer:
                     ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
             lists[t] = (ids, tfs, dls, pos_flat)
 
+        # prefix clauses -> one sorted allow/deny id set each (union of the
+        # clause's live expansion lists), composed exactly like the
+        # distributed filter channel: positives intersect, negatives
+        # subtract; the kernel then sees a plain allow_ids array
+        prefix_const = PREFIX_SCORE * len(pq.prefixes)
+        allow = None
+        for p in pq.prefixes:
+            parts = [lists[t][0] for t in expansions[p] if t in lists]
+            s = (
+                np.unique(np.concatenate(parts))
+                if parts
+                else np.empty(0, dtype=np.int64)
+            )
+            allow = (
+                s
+                if allow is None
+                else allow[np.isin(allow, s, assume_unique=True)]
+            )
+            if allow.size == 0:
+                return []
+        deny = None
+        for p in pq.neg_prefixes:
+            parts = [lists[t][0] for t in expansions[p] if t in lists]
+            if parts:
+                s = np.unique(np.concatenate(parts))
+                deny = s if deny is None else np.union1d(deny, s)
+        if deny is not None:
+            if allow is None:
+                # exclusion needs a base: any positive term's posting list
+                # is a candidate superset (AND semantics) — use the smallest
+                base_t = min(pq.terms, key=lambda t: lists[t][0].size)
+                allow = lists[base_t][0]
+            allow = allow[~np.isin(allow, deny)]
+            if allow.size == 0:
+                return []
+
         n_keep = offset + k
+        if not pq.terms:
+            # prefix-only: constant scores, doc_id order is the ranking
+            for t in pq.neg_terms:
+                if t in lists:
+                    allow = allow[~np.isin(allow, lists[t][0])]
+            page = allow[offset : offset + k]
+            return [
+                (int(d), float(prefix_const), offset + i + 1)
+                for i, d in enumerate(page)
+            ]
         doc_ids, scores = score_term_lists(
-            pq, lists, idf, self.k1, self.b, self._avgdl, n_keep
+            pq, lists, idf, self.k1, self.b, self._avgdl, n_keep,
+            allow_ids=allow,
         )
         return [
-            (int(d), float(s), i + 1)
+            (int(d), float(s) + prefix_const, i + 1)
             for i, (d, s) in enumerate(zip(doc_ids, scores))
             if i + 1 > offset
         ]

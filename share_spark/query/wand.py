@@ -57,7 +57,13 @@ from pyspark.sql import types as T
 
 from ..index.build import IndexReader
 from ..index.codec import filter_groups, gather_groups, get_codec
-from .bm25 import ParsedQuery, parse_query
+from .bm25 import (
+    PREFIX_SCORE,
+    ParsedQuery,
+    parse_query,
+    prefix_doc_filter,
+    prefix_only_topk,
+)
 
 CHUNK_SCORES_SCHEMA = T.StructType(
     [
@@ -480,10 +486,19 @@ def wand_topk(
     rank. `filter_docs` (doc_id) restricts results to that set, applied
     inside the chunk kernel before any truncation (full pages guaranteed —
     no overfetch heuristics). `pq` overrides query parsing (used by the
-    field-scoped path, whose terms carry a path-prefix namespace)."""
+    field-scoped path, whose terms carry a path-prefix namespace).
+    Prefix clauses (`dang*`) fold into the filter channel and add
+    PREFIX_SCORE each (constant-score rewrite, see ParsedQuery) — uniform
+    over every result, so the kernel's bounds and tau pruning are
+    unaffected."""
     pq = pq if pq is not None else parse_query(query_text, index.analyzer)
-    if not pq.terms:
+    if not pq.terms and not pq.prefixes:
         raise ValueError("query has no positive terms")
+    if pq.prefixes or pq.neg_prefixes:
+        filter_docs = prefix_doc_filter(index, pq, filter_docs)
+    if not pq.terms:
+        return prefix_only_topk(index, pq, k, offset, filter_docs)
+    prefix_const = PREFIX_SCORE * len(pq.prefixes)
 
     spark = index.spark
     n_keep = offset + k
@@ -581,7 +596,7 @@ def wand_topk(
         rows = _score(None, tau=0.0)
         merged = [(int(r["doc_id"]), float(r["score"])) for r in rows]
         page = [
-            (d, s, i + 1)
+            (d, s + prefix_const, i + 1)
             for i, (d, s) in enumerate(merged[:n_keep])
             if i + 1 > offset
         ]
@@ -629,8 +644,10 @@ def wand_topk(
         merged += [(int(r["doc_id"]), float(r["score"])) for r in rows2]
 
     merged.sort(key=lambda x: (-x[1], x[0]))
+    # prefix_const is uniform, so adding it AFTER tau pruning and the
+    # sort cannot reorder or change membership
     page = [
-        (d, s, i + 1)
+        (d, s + prefix_const, i + 1)
         for i, (d, s) in enumerate(merged[:n_keep])
         if i + 1 > offset
     ]
@@ -700,8 +717,14 @@ def match_docs(
     distributed end to end.
     """
     pq = pq if pq is not None else parse_query(query_text, index.analyzer)
-    if not pq.terms:
+    if not pq.terms and not pq.prefixes:
         raise ValueError("query has no positive terms")
+    if pq.prefixes or pq.neg_prefixes:
+        filter_docs = prefix_doc_filter(index, pq, filter_docs)
+    if not pq.terms:
+        # prefix-only: the folded filter set IS the match set (boolean
+        # semantics — no scoring, so no constant to carry)
+        return filter_docs.select("doc_id")
     has_phrases = bool(pq.phrases or pq.neg_phrases)
     phrase_terms = [t for ph in (pq.phrases + pq.neg_phrases) for t in ph]
     all_terms = list(dict.fromkeys(pq.terms + pq.neg_terms + tuple(phrase_terms)))
