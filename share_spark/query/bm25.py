@@ -11,6 +11,8 @@ tests pinned at _common_trovesearch_tests.py:455-474):
 - AND of terms (simple_query_string default_operator=AND)
 - '"..."' quoted phrases must match in order
 - '-' prefix negates a term or phrase
+- 'dang*' prefix clauses (the PREFIX flag, on by default in ES): required
+  membership, constant-score +1.0 each (Lucene constant-score rewrite)
 
 The exact scorer below is a pure DataFrame plan (decode UDF -> broadcast idf
 join -> JVM-side score expression -> groupBy sum -> top-k); it is the oracle-
