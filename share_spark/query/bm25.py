@@ -64,6 +64,22 @@ class ParsedQuery:
     neg_phrases: tuple[tuple[str, ...], ...] = field(default_factory=tuple)
     prefixes: tuple[str, ...] = field(default_factory=tuple)
     neg_prefixes: tuple[str, ...] = field(default_factory=tuple)
+    # per-phrase slop, aligned with phrases/neg_phrases ('"a b"~2' — the
+    # simple_query_string SLOP flag). Semantics: IN-ORDER window match —
+    # positions p1<..<pn with pn-p1 <= len-1+slop (Lucene
+    # span_near(in_order=true); a documented deviation from sloppy
+    # PhraseQuery, which also admits transpositions). slop=0 == exact
+    # adjacency. Empty tuple == all zeros (backwards compatible).
+    phrase_slops: tuple[int, ...] = field(default_factory=tuple)
+    neg_phrase_slops: tuple[int, ...] = field(default_factory=tuple)
+
+    def slop_of(self, i: int) -> int:
+        return self.phrase_slops[i] if i < len(self.phrase_slops) else 0
+
+    def neg_slop_of(self, i: int) -> int:
+        return (
+            self.neg_phrase_slops[i] if i < len(self.neg_phrase_slops) else 0
+        )
 
 
 #: Constant score contribution of one matched positive prefix clause
@@ -71,7 +87,7 @@ class ParsedQuery:
 PREFIX_SCORE = 1.0
 
 
-_QUERY_TOKEN_RE = re.compile(r'(-?)"([^"]*)"|(-?)(\S+)')
+_QUERY_TOKEN_RE = re.compile(r'(-?)"([^"]*)"(?:~(\d+))?|(-?)(\S+)')
 
 
 def parse_query(text: str, analyzer: str = "standard") -> ParsedQuery:
@@ -81,19 +97,24 @@ def parse_query(text: str, analyzer: str = "standard") -> ParsedQuery:
     neg_phrases: list[tuple[str, ...]] = []
     prefixes: list[str] = []
     neg_prefixes: list[str] = []
+    phrase_slops: list[int] = []
+    neg_phrase_slops: list[int] = []
     for m in _QUERY_TOKEN_RE.finditer(text):
         if m.group(2) is not None:
             toks = tuple(tokenize(m.group(2), analyzer))
             if not toks:
                 continue
+            slop = int(m.group(3)) if m.group(3) else 0
             if m.group(1) == "-":
                 neg_phrases.append(toks)
+                neg_phrase_slops.append(slop)
             else:
                 phrases.append(toks)
+                phrase_slops.append(slop)
                 terms.extend(toks)
         else:
-            word = m.group(4)
-            neg = m.group(3) == "-"
+            word = m.group(5)
+            neg = m.group(4) == "-"
             is_prefix = word.endswith("*") and len(word.rstrip("*")) > 0
             toks = tokenize(word.rstrip("*") if is_prefix else word, analyzer)
             if not toks:
@@ -119,6 +140,8 @@ def parse_query(text: str, analyzer: str = "standard") -> ParsedQuery:
         tuple(neg_phrases),
         tuple(dict.fromkeys(prefixes)),
         tuple(dict.fromkeys(neg_prefixes)),
+        tuple(phrase_slops),
+        tuple(neg_phrase_slops),
     )
 
 
@@ -286,25 +309,52 @@ def _phrase_filter(index: IndexReader, candidates: DataFrame, pq: ParsedQuery) -
     )
     joined = candidates.join(per_doc, "doc_id", "left")
 
-    def phrase_cond(ph: tuple[str, ...]):
+    def phrase_cond(ph: tuple[str, ...], slop: int = 0):
         present = F.lit(True)
         for t in ph:
             present = present & F.col(pcols[t]).isNotNull()
         rest = ph[1:]
 
-        def check(p):
-            c = F.lit(True)
-            for i, t in enumerate(rest, start=1):
-                c = c & F.array_contains(F.col(pcols[t]), p + i)
-            return c
+        if slop == 0:
 
-        return present & F.exists(F.col(pcols[ph[0]]), check)
+            def check(p):
+                c = F.lit(True)
+                for i, t in enumerate(rest, start=1):
+                    c = c & F.array_contains(F.col(pcols[t]), p + i)
+                return c
+
+            return present & F.exists(F.col(pcols[ph[0]]), check)
+
+        # sloppy (in-order window) match: nested exists quantifying one
+        # in-order position per term, last position within
+        # p1 + len-1 + slop; per-step bound p_i <= p1 + (i-1) + slop
+        # prunes each level (any valid chain satisfies it, since the
+        # remaining terms need >= len-i more ascending slots)
+        def chain(i: int, p1, p_prev):
+            t = ph[i]
+            bound = p1 + (i + slop)
+
+            def level(p):
+                c = (p > p_prev) & (p <= bound)
+                if i + 1 < len(ph):
+                    return c & chain(i + 1, p1, p)
+                return c
+
+            return F.exists(F.col(pcols[t]), level)
+
+        if len(ph) == 1:
+            return present  # single-term "phrase": presence is the match
+        return present & F.exists(
+            F.col(pcols[ph[0]]), lambda p1: chain(1, p1, p1)
+        )
 
     cond = F.lit(True)
-    for ph in pq.phrases:
-        cond = cond & phrase_cond(ph)
-    for ph in pq.neg_phrases:
-        cond = cond & ~F.coalesce(phrase_cond(ph), F.lit(False))
+    for i, ph in enumerate(pq.phrases):
+        cond = cond & phrase_cond(ph, pq.slop_of(i))
+    for i, ph in enumerate(pq.neg_phrases):
+        cond = cond & ~F.coalesce(
+            phrase_cond(ph, pq.neg_slop_of(i)), F.lit(False)
+        )
     return joined.filter(cond).drop(*pcols.values())
 
 

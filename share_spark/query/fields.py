@@ -50,6 +50,8 @@ def _prefixed(pq: ParsedQuery, path: str) -> ParsedQuery:
         # prefixing the namespace the same way
         prefixes=tuple(p(t) for t in pq.prefixes),
         neg_prefixes=tuple(p(t) for t in pq.neg_prefixes),
+        phrase_slops=pq.phrase_slops,
+        neg_phrase_slops=pq.neg_phrase_slops,
     )
 
 

@@ -111,8 +111,12 @@ def _term_keys(cand, tl, P):
     return np.repeat(ranks, tfs[order]) * P + sub_pos
 
 
-def _phrase_mask(cand, lists, phrase, P):
-    """Boolean mask over cand: doc contains the phrase in order."""
+def _phrase_mask(cand, lists, phrase, P, slop: int = 0):
+    """Boolean mask over cand: doc contains the phrase in order (exact
+    adjacency when slop=0; in-order window p1<..<pn, pn-p1 <= len-1+slop
+    otherwise — span_near(in_order=true) semantics, see ParsedQuery)."""
+    if slop > 0:
+        return _sloppy_phrase_mask(cand, lists, phrase, P, slop)
     mask = np.zeros(cand.shape[0], dtype=bool)
     if any(t not in lists for t in phrase):
         return mask
@@ -123,6 +127,44 @@ def _phrase_mask(cand, lists, phrase, P):
         S = S[_member(_term_keys(cand, lists[t], P), S + i)]
     if S.size:
         mask[(S // P).astype(np.int64)] = True
+    return mask
+
+
+def _sloppy_phrase_mask(cand, lists, phrase, P, slop: int):
+    """Vectorized in-order sloppy match via a max-chain-start DP in the
+    stride keyspace: for each occurrence of term i, the LARGEST p1 of any
+    in-order chain t1..ti ending there (larger start = most window budget
+    left, so a window-satisfying chain exists iff the max-start one
+    satisfies it). One searchsorted + prefix-max per term — O(occurrences),
+    no per-candidate Python."""
+    mask = np.zeros(cand.shape[0], dtype=bool)
+    if any(t not in lists for t in phrase):
+        return mask
+    K_prev = _term_keys(cand, lists[phrase[0]], P)
+    M_prev = K_prev.copy()  # chain-start KEY (rank*P + p1); -1 = no chain
+    for t in phrase[1:]:
+        if K_prev.size == 0:
+            return mask
+        K_cur = _term_keys(cand, lists[t], P)
+        start = np.full(K_cur.shape[0], -1, dtype=np.int64)
+        if K_cur.size:
+            # best start among all PRECEDING occurrences of the previous
+            # term: running max is safe across docs because keys of
+            # earlier docs are strictly smaller (P-stride) and the
+            # same-doc check below rejects any cross-doc winner
+            run = np.maximum.accumulate(M_prev)
+            idx = np.searchsorted(K_prev, K_cur, side="left") - 1
+            ok = idx >= 0
+            sel = np.nonzero(ok)[0]
+            best = run[idx[sel]]
+            good = (best >= 0) & ((best // P) == (K_cur[sel] // P))
+            start[sel[good]] = best[good]
+        K_prev, M_prev = K_cur, start
+    if K_prev.size:
+        window = len(phrase) - 1 + slop
+        hit = K_prev[(M_prev >= 0) & (K_prev - M_prev <= window)]
+        if hit.size:
+            mask[(hit // P).astype(np.int64)] = True
     return mask
 
 
@@ -169,12 +211,12 @@ def candidate_ids(
             if dls is not None and dls.size:
                 max_dl = max(max_dl, int(dls.max()))
         P = np.int64(max_dl + max_phrase_len + 2)
-        for ph in pq.phrases:
-            cand = cand[_phrase_mask(cand, lists, ph, P)]
+        for i, ph in enumerate(pq.phrases):
+            cand = cand[_phrase_mask(cand, lists, ph, P, pq.slop_of(i))]
             if cand.size == 0:
                 return empty
-        for ph in pq.neg_phrases:
-            cand = cand[~_phrase_mask(cand, lists, ph, P)]
+        for i, ph in enumerate(pq.neg_phrases):
+            cand = cand[~_phrase_mask(cand, lists, ph, P, pq.neg_slop_of(i))]
             if cand.size == 0:
                 return empty
     return cand
