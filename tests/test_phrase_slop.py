@@ -135,3 +135,63 @@ def test_parse_slop_shapes():
     assert pq.slop_of(0) == 2 and pq.slop_of(1) == 0
     # slop-less ParsedQuery defaults still answer 0
     assert parse_query('"a b"').slop_of(0) == 0
+
+
+# ---- property fuzz of the kernel DP (no Spark: pure numpy) ----------------
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from share_spark.query.wand import _phrase_mask, _sloppy_phrase_mask
+
+ALPHA = ["a", "b", "c", "d"]
+
+
+def _kernel_lists(docs):
+    """Build the kernel's term -> (ids, tfs, dls, pos_flat) shape."""
+    terms = {}
+    for d in sorted(docs):
+        pos = {}
+        for i, t in enumerate(docs[d]):
+            pos.setdefault(t, []).append(i)
+        for t, ps in pos.items():
+            ids, tfs, flat = terms.setdefault(t, ([], [], []))
+            ids.append(d)
+            tfs.append(len(ps))
+            flat.extend(ps)
+    return {
+        t: (
+            np.asarray(ids, dtype=np.int64),
+            np.asarray(tfs, dtype=np.int64),
+            np.full(len(ids), 30.0),
+            np.asarray(flat, dtype=np.int64),
+        )
+        for t, (ids, tfs, flat) in terms.items()
+    }
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(ALPHA), min_size=1, max_size=30),
+        min_size=1,
+        max_size=6,
+    ),
+    phrase=st.lists(st.sampled_from(ALPHA), min_size=2, max_size=4),
+    slop=st.integers(min_value=0, max_value=4),
+)
+def test_sloppy_mask_fuzz(docs, phrase, slop):
+    docs = {i: toks for i, toks in enumerate(docs)}
+    lists = _kernel_lists(docs)
+    cand = np.asarray(sorted(docs), dtype=np.int64)
+    P = np.int64(30 + len(phrase) + 2)
+    got = _phrase_mask(cand, lists, tuple(phrase), P, slop)
+    want = np.asarray(
+        [_has_sloppy(docs[int(d)], tuple(phrase), slop) for d in cand]
+    )
+    assert got.tolist() == want.tolist(), (docs, phrase, slop)
+    if slop == 0:
+        # the DP at slop=0 must agree with the exact-adjacency fast path
+        dp = _sloppy_phrase_mask(cand, lists, tuple(phrase), P, 0)
+        assert dp.tolist() == got.tolist()
