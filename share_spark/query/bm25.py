@@ -412,6 +412,7 @@ def prefix_only_topk(
     if pq.neg_terms:
         neg = live_postings(index, list(pq.neg_terms)).select("doc_id").distinct()
         base = base.join(neg, "doc_id", "left_anti")
+    base = _phrase_filter(index, base, pq)  # negated phrases still apply
     score = float(PREFIX_SCORE * len(pq.prefixes))
     return _rank_page(
         base.select("doc_id", F.lit(score).alias("score")), k, offset

@@ -550,17 +550,22 @@ class TopKServer:
         if not pq.terms and not pq.prefixes:
             raise ValueError("query has no positive terms")
         phrase_terms = [t for ph in (pq.phrases + pq.neg_phrases) for t in ph]
-        expansions = {
-            p: self._expand_prefix(p)
-            for p in dict.fromkeys(pq.prefixes + pq.neg_prefixes)
-        }
-        exp_terms = [t for ts in expansions.values() for t in ts]
-        all_terms = list(
-            dict.fromkeys(
-                pq.terms + pq.neg_terms + tuple(phrase_terms) + tuple(exp_terms)
-            )
-        )
         with self._lock:
+            # expansion reads/warms the shared _dsets term-directory cache,
+            # so it must sit inside the same lock as the cache fill
+            expansions = {
+                p: self._expand_prefix(p)
+                for p in dict.fromkeys(pq.prefixes + pq.neg_prefixes)
+            }
+            exp_terms = [t for ts in expansions.values() for t in ts]
+            all_terms = list(
+                dict.fromkeys(
+                    pq.terms
+                    + pq.neg_terms
+                    + tuple(phrase_terms)
+                    + tuple(exp_terms)
+                )
+            )
             self._read_terms(all_terms)
             cached = {t: self._term_cache[t] for t in all_terms}
             dfs = self._df_of(list(pq.terms))
@@ -631,10 +636,31 @@ class TopKServer:
 
         n_keep = offset + k
         if not pq.terms:
-            # prefix-only: constant scores, doc_id order is the ranking
+            # prefix-only: constant scores, doc_id order is the ranking;
+            # negated terms/phrases still subtract
             for t in pq.neg_terms:
                 if t in lists:
                     allow = allow[~np.isin(allow, lists[t][0])]
+            if pq.neg_phrases and allow.size:
+                from .wand import _phrase_mask
+
+                pos_max = max(
+                    (
+                        int(lists[t][3].max())
+                        for ph in pq.neg_phrases
+                        for t in ph
+                        if t in lists and lists[t][3].size
+                    ),
+                    default=0,
+                )
+                max_len = max(len(ph) for ph in pq.neg_phrases)
+                stride = np.int64(pos_max + max_len + 2)
+                for i, ph in enumerate(pq.neg_phrases):
+                    allow = allow[
+                        ~_phrase_mask(
+                            allow, lists, ph, stride, pq.neg_slop_of(i)
+                        )
+                    ]
             page = allow[offset : offset + k]
             return [
                 (int(d), float(prefix_const), offset + i + 1)

@@ -765,8 +765,19 @@ def match_docs(
         filter_docs = prefix_doc_filter(index, pq, filter_docs)
     if not pq.terms:
         # prefix-only: the folded filter set IS the match set (boolean
-        # semantics — no scoring, so no constant to carry)
-        return filter_docs.select("doc_id")
+        # semantics — no scoring, so no constant to carry); negated
+        # terms/phrases still subtract
+        from .bm25 import _phrase_filter, live_postings
+
+        base = filter_docs.select("doc_id")
+        if pq.neg_terms:
+            neg = (
+                live_postings(index, list(pq.neg_terms))
+                .select("doc_id")
+                .distinct()
+            )
+            base = base.join(neg, "doc_id", "left_anti")
+        return _phrase_filter(index, base, pq)
     has_phrases = bool(pq.phrases or pq.neg_phrases)
     phrase_terms = [t for ph in (pq.phrases + pq.neg_phrases) for t in ph]
     all_terms = list(dict.fromkeys(pq.terms + pq.neg_terms + tuple(phrase_terms)))

@@ -28,6 +28,8 @@ QUERIES = [
     '"nothing valued is here" plac*',   # phrase + prefix
     "danger* repulsive*",               # two prefix clauses
     "zzznope* the",                     # zero-expansion prefix -> empty
+    "danger* -warning",                 # prefix-only with negated term
+    'danger* -"repulsive to us"',       # prefix-only with negated phrase
 ]
 
 
@@ -109,6 +111,13 @@ def test_match_docs_prefix(built_index, frozen):
         if any(t.startswith("danger") for t in cnt)
     }
     assert got == want and got  # non-empty: B and C phrase classes
+    # negations subtract from a prefix-only match set too
+    got_neg = {
+        r["doc_id"]
+        for r in match_docs(built_index, "danger* -warning").collect()
+    }
+    assert got_neg == {d for d in want if "warning" not in frozen.tf[d]}
+    assert got_neg and got_neg < got  # C-class survives, B-class drops
 
 
 def test_prefix_paging(built_index, frozen):
