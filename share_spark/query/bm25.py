@@ -145,6 +145,70 @@ def parse_query(text: str, analyzer: str = "standard") -> ParsedQuery:
     )
 
 
+def split_disjunction(text: str) -> list[str]:
+    """Split on the `|` OR operator at top level (quotes protect `|` inside
+    phrases). Left-flat alternation, the simple_query_string shape."""
+    parts: list[str] = []
+    buf: list[str] = []
+    in_quote = False
+    for ch in text:
+        if ch == '"':
+            in_quote = not in_quote
+        if ch == "|" and not in_quote:
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    parts.append("".join(buf))
+    return parts
+
+
+def parse_disjunction(
+    text: str, analyzer: str = "standard"
+) -> tuple[ParsedQuery, ...]:
+    """Parse `a b | c d` into conjunctive branches (the simple_query_string
+    OR operator). Semantics: a doc matches when ANY branch matches; its
+    score is the SUM of the matching branches' scores (Lucene BooleanQuery
+    SHOULD-clause summing). One branch == plain parse_query. Empty segments
+    (doubled or trailing `|`) are dropped."""
+    parts = split_disjunction(text)
+    if len(parts) == 1:
+        return (parse_query(text, analyzer),)
+    branches = []
+    for seg in parts:
+        pq = parse_query(seg, analyzer)
+        if (
+            pq.terms
+            or pq.neg_terms
+            or pq.prefixes
+            or pq.neg_prefixes
+            or pq.neg_phrases
+        ):
+            branches.append(pq)
+    return tuple(branches)
+
+
+def validate_branches(branches: tuple[ParsedQuery, ...]) -> None:
+    """Shared guards for multi-branch disjunctions: every branch needs a
+    positive clause (a negation-only branch would mean "everything except",
+    corpus-sized — same refusal as a negation-only query), and prefix
+    clauses are single-branch only (a per-branch prefix would need one
+    pushed-down filter channel per branch; narrow the query instead)."""
+    if not branches:
+        raise ValueError("query has no positive terms")
+    if len(branches) == 1:
+        return
+    for pq in branches:
+        if pq.prefixes or pq.neg_prefixes:
+            raise NotImplementedError(
+                "prefix clauses are not supported inside | branches"
+            )
+        if not pq.terms:
+            raise ValueError(
+                "query has no positive terms in one of its | branches"
+            )
+
+
 def idf(n_docs: int, df: int) -> float:
     return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
 
@@ -444,11 +508,38 @@ def exact_topk(
     phrases filter candidates out; `filter_docs` (doc_id) restricts results
     to that set (semi-join before top-k truncation — full pages guaranteed).
     Prefix clauses (`dang*`) constrain membership and add PREFIX_SCORE each
-    (constant-score rewrite — see ParsedQuery).
+    (constant-score rewrite — see ParsedQuery). `|` separates conjunctive
+    branches: a doc matches when any branch does, scoring the sum of its
+    matching branches (BooleanQuery SHOULD summing — see parse_disjunction).
     Tie-break: ascending doc_id (deterministic ordering mirrors the
     reference's pinned orderings, _common_trovesearch_tests.py:330-337).
     """
-    pq = parse_query(query_text, index.analyzer)
+    branches = parse_disjunction(query_text, index.analyzer)
+    validate_branches(branches)
+    if len(branches) > 1:
+        parts = [
+            _branch_scores(index, pqb, filter_docs).withColumn(
+                "_b", F.lit(i)
+            )
+            for i, pqb in enumerate(branches)
+        ]
+        un = parts[0]
+        for p in parts[1:]:
+            un = un.unionByName(p)
+        # deterministic two-level fold: within a branch the term fold is
+        # ascending-term; across branches fold in BRANCH order — the same
+        # order the numpy kernel (score_branch_lists) accumulates, so
+        # totals are bit-identical across paths
+        agg = un.groupBy("doc_id").agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("_b", "score"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["score"],
+            ).alias("score")
+        )
+        return _rank_page(agg, k, offset)
+
+    pq = branches[0]
     if not pq.terms and not pq.prefixes:
         raise ValueError("query has no positive terms")
     filter_docs = prefix_doc_filter(index, pq, filter_docs)
@@ -456,6 +547,20 @@ def exact_topk(
 
     if not pq.terms:
         return prefix_only_topk(index, pq, k, offset, filter_docs)
+    agg = _branch_scores(index, pq, filter_docs)
+    if prefix_const:
+        # uniform over all results (AND semantics) — never reorders
+        agg = agg.withColumn(
+            "score", F.col("score") + F.lit(float(prefix_const))
+        )
+    return _rank_page(agg, k, offset)
+
+
+def _branch_scores(
+    index: IndexReader, pq: ParsedQuery, filter_docs: DataFrame | None
+) -> DataFrame:
+    """Untruncated (doc_id, score) for ONE conjunctive branch — the shared
+    body of exact_topk and each `|` branch."""
     k1, b, avgdl = index.k1, index.b, index.avgdl
 
     postings = live_postings(index, list(pq.terms))
@@ -497,10 +602,4 @@ def exact_topk(
         agg = agg.join(neg_docs, "doc_id", "left_anti")
     if filter_docs is not None:
         agg = agg.join(filter_docs.select("doc_id"), "doc_id", "left_semi")
-    agg = _phrase_filter(index, agg, pq)
-    if prefix_const:
-        # uniform over all results (AND semantics) — never reorders
-        agg = agg.withColumn(
-            "score", F.col("score") + F.lit(float(prefix_const))
-        )
-    return _rank_page(agg, k, offset)
+    return _phrase_filter(index, agg, pq)

@@ -44,8 +44,13 @@ def _entry_nbytes(entry: tuple) -> int:
     return sum(a.nbytes for a in entry)
 
 from ..index.build import IndexReader
-from .bm25 import PREFIX_SCORE, ParsedQuery, parse_query
-from .wand import score_term_lists
+from .bm25 import (
+    PREFIX_SCORE,
+    ParsedQuery,
+    parse_disjunction,
+    validate_branches,
+)
+from .wand import score_branch_lists
 
 _BLOCK_COLS = [
     "term", "chunk", "first_doc", "n", "docs_bin", "tfs_bin", "dls_bin",
@@ -546,31 +551,50 @@ class TopKServer:
         """[(doc_id, score, rank)] — rank-identical to wand_topk/exact_topk
         (same parse, same idf, same scoring kernel)."""
         self._load_tombstones()
-        pq: ParsedQuery = parse_query(query_text, self.analyzer)
-        if not pq.terms and not pq.prefixes:
+        branches = parse_disjunction(query_text, self.analyzer)
+        validate_branches(branches)
+        multi = len(branches) > 1
+        pq: ParsedQuery = branches[0]
+        if not multi and not pq.terms and not pq.prefixes:
             raise ValueError("query has no positive terms")
-        phrase_terms = [t for ph in (pq.phrases + pq.neg_phrases) for t in ph]
+        pos_terms = tuple(
+            dict.fromkeys(t for br in branches for t in br.terms)
+        )
+        phrase_terms = [
+            t
+            for br in branches
+            for ph in (br.phrases + br.neg_phrases)
+            for t in ph
+        ]
+        neg_terms = tuple(
+            dict.fromkeys(t for br in branches for t in br.neg_terms)
+        )
         with self._lock:
             # expansion reads/warms the shared _dsets term-directory cache,
             # so it must sit inside the same lock as the cache fill
+            # (multi-branch queries carry no prefixes — validate_branches)
             expansions = {
                 p: self._expand_prefix(p)
                 for p in dict.fromkeys(pq.prefixes + pq.neg_prefixes)
-            }
+            } if not multi else {}
             exp_terms = [t for ts in expansions.values() for t in ts]
             all_terms = list(
                 dict.fromkeys(
-                    pq.terms
-                    + pq.neg_terms
+                    pos_terms
+                    + neg_terms
                     + tuple(phrase_terms)
                     + tuple(exp_terms)
                 )
             )
             self._read_terms(all_terms)
             cached = {t: self._term_cache[t] for t in all_terms}
-            dfs = self._df_of(list(pq.terms))
-        if any(dfs[t] == 0 for t in pq.terms):
+            dfs = self._df_of(list(pos_terms))
+        if not multi and any(dfs[t] == 0 for t in pq.terms):
             return []
+        if multi and all(
+            any(dfs[t] == 0 for t in br.terms) for br in branches
+        ):
+            return []  # every branch has a dead term
         n = float(self._n_docs)
         idf = {
             t: float(np.log1p((n - d + 0.5) / (d + 0.5))) for t, d in dfs.items()
@@ -580,9 +604,9 @@ class TopKServer:
         for t in all_terms:
             ids, tfs, dls, pos_flat, gens = cached[t]
             if ids.size == 0:
-                if t in pq.terms:
+                if not multi and t in pq.terms:
                     return []  # conjunctive
-                continue
+                continue  # multi: a missing term only kills its branch
             if self._tomb is not None:
                 from ..index.codec import filter_groups
 
@@ -666,8 +690,8 @@ class TopKServer:
                 (int(d), float(prefix_const), offset + i + 1)
                 for i, d in enumerate(page)
             ]
-        doc_ids, scores = score_term_lists(
-            pq, lists, idf, self.k1, self.b, self._avgdl, n_keep,
+        doc_ids, scores = score_branch_lists(
+            branches, lists, idf, self.k1, self.b, self._avgdl, n_keep,
             allow_ids=allow,
         )
         return [

@@ -60,9 +60,11 @@ from ..index.codec import filter_groups, gather_groups, get_codec
 from .bm25 import (
     PREFIX_SCORE,
     ParsedQuery,
+    parse_disjunction,
     parse_query,
     prefix_doc_filter,
     prefix_only_topk,
+    validate_branches,
 )
 
 CHUNK_SCORES_SCHEMA = T.StructType(
@@ -239,23 +241,69 @@ def score_term_lists(
     lists: term -> (ids sorted unique, tfs, dls or None, pos_flat or None);
     returns (doc_ids, scores) of the local top-n_keep (score desc, id asc).
     """
-    pos_sorted = tuple(sorted(pq.terms))
-    empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
+    cand, scores = _branch_cand_scores(pq, lists, idf_of, k1, b, avgdl, allow_ids)
+    order = np.lexsort((cand, -scores))[:n_keep]
+    return cand[order], scores[order]
 
+
+def _branch_cand_scores(
+    pq: ParsedQuery,
+    lists: dict,
+    idf_of: dict,
+    k1: float,
+    b: float,
+    avgdl: float,
+    allow_ids: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """One conjunctive branch's full (candidates, scores) — untruncated."""
     cand = candidate_ids(pq, lists, allow_ids)
-    if cand.size == 0:
-        return empty
-
     scores = np.zeros(cand.shape[0], dtype=np.float64)
-    for t in pos_sorted:
+    if cand.size == 0:
+        return cand, scores
+    for t in sorted(pq.terms):
         ids, tfs, dls, _pos = lists[t]
         pos = np.searchsorted(ids, cand)
         tf = tfs[pos].astype(np.float64)
         dl = dls[pos]
         impact = (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
         scores += idf_of[t] * impact
-    order = np.lexsort((cand, -scores))[:n_keep]
-    return cand[order], scores[order]
+    return cand, scores
+
+
+def score_branch_lists(
+    branches: tuple[ParsedQuery, ...],
+    lists: dict,
+    idf_of: dict,
+    k1: float,
+    b: float,
+    avgdl: float,
+    n_keep: int,
+    allow_ids: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Disjunction of conjunctive branches ('a b | c d' — the
+    simple_query_string OR operator): a doc matches when ANY branch's
+    constraints hold, and scores the SUM of its matching branches' BM25
+    term sums (Lucene BooleanQuery SHOULD-clause summing). Single branch
+    degenerates to score_term_lists exactly. Shared by the distributed
+    chunk kernel and the serve tier, like score_term_lists."""
+    if len(branches) == 1:
+        return score_term_lists(
+            branches[0], lists, idf_of, k1, b, avgdl, n_keep, allow_ids
+        )
+    cands, parts = [], []
+    for pq in branches:
+        c, s = _branch_cand_scores(pq, lists, idf_of, k1, b, avgdl, allow_ids)
+        if c.size:
+            cands.append(c)
+            parts.append(s)
+    if not cands:
+        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
+    cat = np.concatenate(cands)
+    uniq, inv = np.unique(cat, return_inverse=True)
+    tot = np.zeros(uniq.size, dtype=np.float64)
+    np.add.at(tot, inv, np.concatenate(parts))
+    order = np.lexsort((uniq, -tot))[:n_keep]
+    return uniq[order], tot[order]
 
 
 def _decode_chunk_lists(
@@ -337,7 +385,7 @@ def _aux_arrays(aux: pd.DataFrame | None):
 
 
 def _make_chunk_scorer(
-    pq: ParsedQuery,
+    branches: tuple[ParsedQuery, ...],
     k1: float,
     b: float,
     avgdl: float,
@@ -347,7 +395,10 @@ def _make_chunk_scorer(
     codec_name: str = "varint",
 ):
     """applyInPandas / cogroup kernel: score one chunk's blocks, emit local
-    top-n.
+    top-n. `branches` is the query's `|` disjunction of conjunctive
+    branches (usually one) — a chunk prunes only when NO branch has all
+    its terms present, and the tau bound is the sum of the viable
+    branches' bounds.
 
     Block rows carry `idf` (broadcast-joined per query), `gen` (segment id),
     and `bound_imp` (query-time impact bound). The optional aux frame carries
@@ -356,11 +407,13 @@ def _make_chunk_scorer(
     Negative terms / neg-phrase-only terms have null idf and contribute only
     ids (+ positions for phrase checks).
     """
-    pos_sorted = tuple(sorted(pq.terms))
-    pos_set = frozenset(pq.terms)
-    neg_set = frozenset(pq.neg_terms)
+    branch_terms = [tuple(sorted(set(br.terms))) for br in branches]
+    pos_set = frozenset(t for bt in branch_terms for t in bt)
     phrase_terms = frozenset(
-        t for ph in (pq.phrases + pq.neg_phrases) for t in ph
+        t
+        for br in branches
+        for ph in (br.phrases + br.neg_phrases)
+        for t in ph
     )
     codec = get_codec(codec_name)
 
@@ -388,21 +441,31 @@ def _make_chunk_scorer(
             idf_of[t] = float(idf)
             if bi > per_term_max.get(t, 0.0):
                 per_term_max[t] = bi
-        if len(per_term_max) < len(pos_sorted):
-            return empty  # conjunctive: some positive term absent
-        # positive phrases also need every phrase term present in the chunk
-        for ph in pq.phrases:
-            if any(t not in seen_terms for t in ph):
-                return empty
-        bound = sum(idf_of[t] * m for t, m in per_term_max.items())
+
+        # branch viability: all the branch's terms (and its positive
+        # phrases' terms) present in this chunk; the chunk's score bound
+        # is the sum of viable branch bounds
+        viable: list[ParsedQuery] = []
+        bound = 0.0
+        for br, bt in zip(branches, branch_terms):
+            if any(t not in per_term_max for t in bt):
+                continue
+            if any(
+                t not in seen_terms for ph in br.phrases for t in ph
+            ):
+                continue
+            viable.append(br)
+            bound += sum(idf_of[t] * per_term_max[t] for t in bt)
+        if not viable:
+            return empty
         if bound < tau:  # ties kept: equal-score docs can win on doc_id
             return empty
 
         lists = _decode_chunk_lists(
             pdf, tomb_ids, tomb_gens, pos_set, phrase_terms, codec
         )
-        doc_ids, scores = score_term_lists(
-            pq, lists, idf_of, k1, b, avgdl, n_keep, allow_ids
+        doc_ids, scores = score_branch_lists(
+            tuple(viable), lists, idf_of, k1, b, avgdl, n_keep, allow_ids
         )
         return pd.DataFrame({"doc_id": doc_ids, "score": scores})
 
@@ -533,27 +596,49 @@ def wand_topk(
     PREFIX_SCORE each (constant-score rewrite, see ParsedQuery) — uniform
     over every result, so the kernel's bounds and tau pruning are
     unaffected."""
-    pq = pq if pq is not None else parse_query(query_text, index.analyzer)
-    if not pq.terms and not pq.prefixes:
-        raise ValueError("query has no positive terms")
-    if pq.prefixes or pq.neg_prefixes:
-        filter_docs = prefix_doc_filter(index, pq, filter_docs)
-    if not pq.terms:
-        return prefix_only_topk(index, pq, k, offset, filter_docs)
-    prefix_const = PREFIX_SCORE * len(pq.prefixes)
+    if pq is not None:
+        branches = (pq,)
+    else:
+        branches = parse_disjunction(query_text, index.analyzer)
+    validate_branches(branches)
+    if len(branches) == 1:
+        pq = branches[0]
+        if not pq.terms and not pq.prefixes:
+            raise ValueError("query has no positive terms")
+        if pq.prefixes or pq.neg_prefixes:
+            filter_docs = prefix_doc_filter(index, pq, filter_docs)
+        if not pq.terms:
+            return prefix_only_topk(index, pq, k, offset, filter_docs)
+        prefix_const = PREFIX_SCORE * len(pq.prefixes)
+    else:
+        prefix_const = 0.0  # validate_branches bans prefixes in branches
 
     spark = index.spark
     n_keep = offset + k
-    has_phrases = bool(pq.phrases or pq.neg_phrases)
-    phrase_terms = [t for ph in (pq.phrases + pq.neg_phrases) for t in ph]
-    all_terms = list(dict.fromkeys(pq.terms + pq.neg_terms + tuple(phrase_terms)))
+    pos_terms = tuple(
+        dict.fromkeys(t for br in branches for t in br.terms)
+    )
+    has_phrases = any(br.phrases or br.neg_phrases for br in branches)
+    phrase_terms = [
+        t
+        for br in branches
+        for ph in (br.phrases + br.neg_phrases)
+        for t in ph
+    ]
+    all_terms = list(
+        dict.fromkeys(
+            pos_terms
+            + tuple(t for br in branches for t in br.neg_terms)
+            + tuple(phrase_terms)
+        )
+    )
     n = index.n_docs
     k1, b, avgdl = index.k1, index.b, index.avgdl
 
     # per-query stats slice, idf in-plan; broadcast to the block join
     stats = (
         index.term_stats()
-        .filter(F.col("term").isin(list(pq.terms)))
+        .filter(F.col("term").isin(list(pos_terms)))
         .select(
             "term",
             F.log1p(
@@ -589,7 +674,7 @@ def wand_topk(
         sel = _with_bucket(sel, n_buckets)
         scorer = _bucketed_kernel(
             _make_chunk_scorer(
-                pq, k1, b, avgdl, n_keep, tau, filter_active,
+                branches, k1, b, avgdl, n_keep, tau, filter_active,
                 index.postings_codec,
             ),
             _EMPTY_SCORES,
@@ -644,19 +729,54 @@ def wand_topk(
         ]
         return spark.createDataFrame(page, RESULT_SCHEMA)
 
-    # job 1 (metadata only): chunk upper bounds, conjunctive-pruned
-    chunk_bounds = (
+    # job 1 (metadata only): chunk upper bounds. Per BRANCH conjunctive:
+    # a chunk qualifies for a branch when every branch term appears; the
+    # chunk's bound is the sum of its qualifying branches' bounds (the
+    # BooleanQuery SHOULD-sum upper bound). Single branch degenerates to
+    # the plain conjunctive prune.
+    per_ct = (
         blocks.filter(F.col("idf").isNotNull())
         .groupBy("chunk", "term")
         .agg(F.max("bound_imp").alias("mi"), F.first("idf").alias("idf"))
-        .groupBy("chunk")
-        .agg(
-            F.count("*").alias("nt"),
-            F.sum(F.col("idf") * F.col("mi")).alias("bound"),
-        )
-        .filter(F.col("nt") == len(pq.terms))
-        .select("chunk", "bound")
     )
+    if len(branches) == 1:
+        chunk_bounds = (
+            per_ct.groupBy("chunk")
+            .agg(
+                F.count("*").alias("nt"),
+                F.sum(F.col("idf") * F.col("mi")).alias("bound"),
+            )
+            .filter(F.col("nt") == len(branches[0].terms))
+            .select("chunk", "bound")
+        )
+    else:
+        bmap = spark.createDataFrame(
+            [
+                (t, i)
+                for i, br in enumerate(branches)
+                for t in sorted(set(br.terms))
+            ],
+            "term string, _branch int",
+        )
+        bsize = F.create_map(
+            *[
+                x
+                for i, br in enumerate(branches)
+                for x in (F.lit(i), F.lit(len(set(br.terms))))
+            ]
+        )
+        chunk_bounds = (
+            per_ct.join(F.broadcast(bmap), "term")
+            .groupBy("chunk", "_branch")
+            .agg(
+                F.count("*").alias("nt"),
+                F.sum(F.col("idf") * F.col("mi")).alias("bound_b"),
+            )
+            .filter(F.col("nt") == F.element_at(bsize, F.col("_branch")))
+            .groupBy("chunk")
+            .agg(F.sum("bound_b").alias("bound"))
+            .select("chunk", "bound")
+        )
     with _interactive_conf(spark):
         top_bounds = (
             chunk_bounds.orderBy(F.desc("bound"), F.asc("chunk"))
@@ -700,20 +820,26 @@ MATCH_SCHEMA = T.StructType([T.StructField("doc_id", T.LongType())])
 
 
 def _make_chunk_matcher(
-    pq: ParsedQuery, filter_active: bool, codec_name: str = "varint"
+    branches: tuple[ParsedQuery, ...],
+    filter_active: bool,
+    codec_name: str = "varint",
 ):
     """applyInPandas / cogroup kernel for the boolean match set: emit EVERY
-    doc in the chunk satisfying the query — no scoring, no truncation.
-    Decode + candidate logic shared with the scoring kernel
+    doc in the chunk satisfying the query (any `|` branch) — no scoring,
+    no truncation. Decode + candidate logic shared with the scoring kernel
     (_decode_chunk_lists / candidate_ids), so match semantics are identical
     by construction."""
-    pos_set = frozenset(pq.terms)
+    pos_set = frozenset(t for br in branches for t in br.terms)
+    has_phrases = any(br.phrases or br.neg_phrases for br in branches)
     phrase_terms = frozenset(
-        t for ph in (pq.phrases + pq.neg_phrases) for t in ph
+        t
+        for br in branches
+        for ph in (br.phrases + br.neg_phrases)
+        for t in ph
     )
     # dls decode only to bound the phrase-key stride P; term-only queries
     # never touch dls_bin
-    score_terms = pos_set if (pq.phrases or pq.neg_phrases) else frozenset()
+    score_terms = pos_set if has_phrases else frozenset()
     codec = get_codec(codec_name)
     empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64")})
 
@@ -724,15 +850,26 @@ def _make_chunk_matcher(
         if filter_active and allow_ids is None:
             return empty  # filter active, nothing allowed in this chunk
         seen = set(pdf["term"])
-        if any(t not in seen for t in pos_set):
-            return empty  # conjunctive: some positive term absent
-        for ph in pq.phrases:
-            if any(t not in seen for t in ph):
-                return empty
+        viable = [
+            br
+            for br in branches
+            if all(t in seen for t in br.terms)
+            and all(t in seen for ph in br.phrases for t in ph)
+        ]
+        if not viable:
+            return empty
         lists = _decode_chunk_lists(
             pdf, tomb_ids, tomb_gens, score_terms, phrase_terms, codec
         )
-        return pd.DataFrame({"doc_id": candidate_ids(pq, lists, allow_ids)})
+        if len(viable) == 1:
+            ids = candidate_ids(viable[0], lists, allow_ids)
+        else:
+            ids = np.unique(
+                np.concatenate(
+                    [candidate_ids(br, lists, allow_ids) for br in viable]
+                )
+            )
+        return pd.DataFrame({"doc_id": ids})
 
     return match_chunk
 
@@ -758,29 +895,46 @@ def match_docs(
     decode, term stats are never needed (no idf), and the match set stays
     distributed end to end.
     """
-    pq = pq if pq is not None else parse_query(query_text, index.analyzer)
-    if not pq.terms and not pq.prefixes:
-        raise ValueError("query has no positive terms")
-    if pq.prefixes or pq.neg_prefixes:
-        filter_docs = prefix_doc_filter(index, pq, filter_docs)
-    if not pq.terms:
-        # prefix-only: the folded filter set IS the match set (boolean
-        # semantics — no scoring, so no constant to carry); negated
-        # terms/phrases still subtract
-        from .bm25 import _phrase_filter, live_postings
+    if pq is not None:
+        branches = (pq,)
+    else:
+        branches = parse_disjunction(query_text, index.analyzer)
+    validate_branches(branches)
+    if len(branches) == 1:
+        pq = branches[0]
+        if not pq.terms and not pq.prefixes:
+            raise ValueError("query has no positive terms")
+        if pq.prefixes or pq.neg_prefixes:
+            filter_docs = prefix_doc_filter(index, pq, filter_docs)
+        if not pq.terms:
+            # prefix-only: the folded filter set IS the match set (boolean
+            # semantics — no scoring, so no constant to carry); negated
+            # terms/phrases still subtract
+            from .bm25 import _phrase_filter, live_postings
 
-        base = filter_docs.select("doc_id")
-        if pq.neg_terms:
-            neg = (
-                live_postings(index, list(pq.neg_terms))
-                .select("doc_id")
-                .distinct()
-            )
-            base = base.join(neg, "doc_id", "left_anti")
-        return _phrase_filter(index, base, pq)
-    has_phrases = bool(pq.phrases or pq.neg_phrases)
-    phrase_terms = [t for ph in (pq.phrases + pq.neg_phrases) for t in ph]
-    all_terms = list(dict.fromkeys(pq.terms + pq.neg_terms + tuple(phrase_terms)))
+            base = filter_docs.select("doc_id")
+            if pq.neg_terms:
+                neg = (
+                    live_postings(index, list(pq.neg_terms))
+                    .select("doc_id")
+                    .distinct()
+                )
+                base = base.join(neg, "doc_id", "left_anti")
+            return _phrase_filter(index, base, pq)
+    has_phrases = any(br.phrases or br.neg_phrases for br in branches)
+    phrase_terms = [
+        t
+        for br in branches
+        for ph in (br.phrases + br.neg_phrases)
+        for t in ph
+    ]
+    all_terms = list(
+        dict.fromkeys(
+            tuple(t for br in branches for t in br.terms)
+            + tuple(t for br in branches for t in br.neg_terms)
+            + tuple(phrase_terms)
+        )
+    )
 
     cols = ["term", "chunk", "first_doc", "n", "docs_bin", "tfs_bin", "gen"]
     if has_phrases:
@@ -792,7 +946,9 @@ def match_docs(
         32, index.spark.sparkContext.defaultParallelism * 2
     )
     matcher = _bucketed_kernel(
-        _make_chunk_matcher(pq, filter_docs is not None, index.postings_codec),
+        _make_chunk_matcher(
+            branches, filter_docs is not None, index.postings_codec
+        ),
         _EMPTY_MATCH,
     )
     blocks = _with_bucket(blocks, n_buckets)
