@@ -205,12 +205,22 @@ def _ft_highlight(spark, sf_dir):
     )
 
 
-def _ft_and(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    return docs.filter(
-        F.array_contains(toks, "window") & F.array_contains(toks, "merge")
-    ).select("doc_id")
+DISJ_QUERY = "spark join | stream window"
+
+
+def _ft_disjunction(spark, sf_dir):
+    """`|` disjunction of conjunctive branches through the REAL index path
+    (query/wand.py: branch-viable chunk bounds + the score_branch_lists
+    kernel): a doc matches when ANY branch's terms all appear, scoring the
+    sum of its matching branches' BM25 term sums (Lucene BooleanQuery
+    SHOULD summing — share_spark/query/bm25.py parse_disjunction)."""
+    idx = _indexed(spark, sf_dir)
+    out = wand_topk(idx, DISJ_QUERY, k=BM25_K + 10)
+    return (
+        out.select("doc_id", F.round("score", 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(BM25_K)
+    )
 
 
 def _ft_not(spark, sf_dir):
@@ -1196,10 +1206,11 @@ QUERIES = {
     "ft_bm25_wand": _wand_bm25,
     "ft_bm25_serve": _serve_bm25,
     "ft_bm25_topk": _inline_bm25,
-    "ft_and_terms": _ft_and,
-    # ft_or_any folded out (OR combinator still pytest-covered via the
-    # wand suite) to hold the 50-entry budget while ft_highlight gets a
-    # driver-oracle row
+    # ft_and_terms folded out (AND is the default combinator — every
+    # multi-term entry above exercises it) for ft_disjunction; ft_or_any
+    # folded out earlier (OR combinator pytest-covered via the wand suite)
+    # to hold the 50-entry budget while ft_highlight keeps its row
+    "ft_disjunction": _ft_disjunction,
     "ft_highlight": _ft_highlight,
     "ft_not": _ft_not,
     "term_stats_top": _term_stats_top,
@@ -1590,11 +1601,46 @@ ORACLES = {
     "ft_bm25_topk": _BM25_ORACLE,
     "ft_bm25_wand": _BM25_ORACLE,
     "ft_bm25_serve": _BM25_ORACLE,
-    "ft_and_terms": (
-        "SELECT doc_id FROM documents WHERE "
-        "list_contains(string_split(text,' '),'window') AND "
-        "list_contains(string_split(text,' '),'merge')"
-    ),
+    "ft_disjunction": f"""
+        WITH toks AS (
+          SELECT doc_id, t AS term
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                FROM documents)
+          WHERE t <> ''
+        ),
+        dls AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+        corpus AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dls),
+        tf AS (
+          SELECT doc_id, term, count(*) AS tf FROM toks
+          WHERE term IN ('spark', 'join', 'stream', 'window')
+          GROUP BY doc_id, term
+        ),
+        dfs AS (
+          SELECT term, count(DISTINCT doc_id) AS df FROM toks
+          WHERE term IN ('spark', 'join', 'stream', 'window') GROUP BY term
+        ),
+        tsc AS (
+          SELECT tf.doc_id, tf.term,
+                 ln(1 + (n - df + 0.5) / (df + 0.5))
+                 * (tf * {K1 + 1.0})
+                 / (tf + {K1} * (1.0 - {B} + {B} * dl / avgdl)) AS s
+          FROM tf JOIN dfs USING (term) JOIN dls USING (doc_id)
+          CROSS JOIN corpus
+        ),
+        b0 AS (
+          SELECT doc_id, sum(s) AS s FROM tsc
+          WHERE term IN ('spark', 'join') GROUP BY doc_id
+          HAVING count(*) = 2
+        ),
+        b1 AS (
+          SELECT doc_id, sum(s) AS s FROM tsc
+          WHERE term IN ('stream', 'window') GROUP BY doc_id
+          HAVING count(*) = 2
+        ),
+        u AS (SELECT * FROM b0 UNION ALL SELECT * FROM b1)
+        SELECT doc_id, round(sum(s), 4) AS score FROM u GROUP BY doc_id
+        ORDER BY score DESC, doc_id LIMIT {BM25_K}
+    """,
     "ft_highlight": f"""
         WITH toks AS (
           SELECT doc_id, t AS term
