@@ -13,6 +13,12 @@ tests pinned at _common_trovesearch_tests.py:455-474):
 - '-' prefix negates a term or phrase
 - 'dang*' prefix clauses (the PREFIX flag, on by default in ES): required
   membership, constant-score +1.0 each (Lucene constant-score rewrite)
+- 'dnag~1' fuzzy clauses (the FUZZY flag): required membership in the set
+  of index terms within Levenshtein edit distance N of the stem (N<=2, the
+  Lucene FuzzyQuery bound; bare 'dnag~' defaults to 2), scored as the same
+  +1.0 constant — the constant-score analog of Lucene's multi-term rewrite,
+  chosen over the blended-frequency rewrite so rank identity across the
+  exact/WAND/serve paths holds by construction
 
 The exact scorer below is a pure DataFrame plan (decode UDF -> broadcast idf
 join -> JVM-side score expression -> groupBy sum -> top-k); it is the oracle-
@@ -34,7 +40,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..analysis import tokenize
-from ..index.build import IndexReader
+from ..index.build import FIELD_SEP, IndexReader
 from ..index.codec import get_codec
 
 POSTINGS_SCHEMA = T.StructType(
@@ -72,6 +78,16 @@ class ParsedQuery:
     # adjacency. Empty tuple == all zeros (backwards compatible).
     phrase_slops: tuple[int, ...] = field(default_factory=tuple)
     neg_phrase_slops: tuple[int, ...] = field(default_factory=tuple)
+    # fuzzy clauses as (stem, max_edit_distance) pairs ('dnag~1'); like
+    # prefixes they are membership constraints with a constant score, so
+    # they ride the same folded doc-filter channel through every path
+    fuzzies: tuple[tuple[str, int], ...] = field(default_factory=tuple)
+    neg_fuzzies: tuple[tuple[str, int], ...] = field(default_factory=tuple)
+
+    @property
+    def const_clauses(self) -> int:
+        """Count of positive constant-score clauses (prefix + fuzzy)."""
+        return len(self.prefixes) + len(self.fuzzies)
 
     def slop_of(self, i: int) -> int:
         return self.phrase_slops[i] if i < len(self.phrase_slops) else 0
@@ -86,6 +102,15 @@ class ParsedQuery:
 #: (the Lucene CONSTANT_SCORE rewrite analog).
 PREFIX_SCORE = 1.0
 
+#: Lucene's LevenshteinAutomata bound — FuzzyQuery rejects distances > 2.
+MAX_FUZZY_DISTANCE = 2
+
+#: Hard bound on terms one fuzzy clause may expand to before the query is
+#: refused (consistent refusal, never silent truncation — a Lucene-style
+#: max_expansions cap would silently change the match set and make the
+#: distributed and serve paths diverge unless both truncate identically).
+MAX_FUZZY_EXPANSIONS = 1024
+
 
 _QUERY_TOKEN_RE = re.compile(r'(-?)"([^"]*)"(?:~(\d+))?|(-?)(\S+)')
 
@@ -99,6 +124,8 @@ def parse_query(text: str, analyzer: str = "standard") -> ParsedQuery:
     neg_prefixes: list[str] = []
     phrase_slops: list[int] = []
     neg_phrase_slops: list[int] = []
+    fuzzies: list[tuple[str, int]] = []
+    neg_fuzzies: list[tuple[str, int]] = []
     for m in _QUERY_TOKEN_RE.finditer(text):
         if m.group(2) is not None:
             toks = tuple(tokenize(m.group(2), analyzer))
@@ -116,6 +143,19 @@ def parse_query(text: str, analyzer: str = "standard") -> ParsedQuery:
             word = m.group(5)
             neg = m.group(4) == "-"
             is_prefix = word.endswith("*") and len(word.rstrip("*")) > 0
+            fuzzy_dist = -1
+            if not is_prefix:
+                fm = re.fullmatch(r"(.+?)~(\d*)", word)
+                if fm:
+                    # bare 'word~' takes the Lucene FuzzyQuery default (2)
+                    fuzzy_dist = int(fm.group(2)) if fm.group(2) else 2
+                    if fuzzy_dist > MAX_FUZZY_DISTANCE:
+                        raise ValueError(
+                            f"fuzzy distance {fuzzy_dist} exceeds the "
+                            f"maximum of {MAX_FUZZY_DISTANCE} (Lucene "
+                            "FuzzyQuery bound)"
+                        )
+                    word = fm.group(1)
             toks = tokenize(word.rstrip("*") if is_prefix else word, analyzer)
             if not toks:
                 continue
@@ -129,6 +169,15 @@ def parse_query(text: str, analyzer: str = "standard") -> ParsedQuery:
                 else:
                     terms.extend(head)
                     prefixes.append(tail)
+            elif fuzzy_dist > 0:
+                # like prefixes: fuzziness applies to the trailing token
+                head, tail = toks[:-1], toks[-1]
+                if neg:
+                    neg_terms.extend(head)
+                    neg_fuzzies.append((tail, fuzzy_dist))
+                else:
+                    terms.extend(head)
+                    fuzzies.append((tail, fuzzy_dist))
             elif neg:
                 neg_terms.extend(toks)
             else:
@@ -142,6 +191,8 @@ def parse_query(text: str, analyzer: str = "standard") -> ParsedQuery:
         tuple(dict.fromkeys(neg_prefixes)),
         tuple(phrase_slops),
         tuple(neg_phrase_slops),
+        tuple(dict.fromkeys(fuzzies)),
+        tuple(dict.fromkeys(neg_fuzzies)),
     )
 
 
@@ -183,6 +234,8 @@ def parse_disjunction(
             or pq.prefixes
             or pq.neg_prefixes
             or pq.neg_phrases
+            or pq.fuzzies
+            or pq.neg_fuzzies
         ):
             branches.append(pq)
     return tuple(branches)
@@ -202,6 +255,10 @@ def validate_branches(branches: tuple[ParsedQuery, ...]) -> None:
         if pq.prefixes or pq.neg_prefixes:
             raise NotImplementedError(
                 "prefix clauses are not supported inside | branches"
+            )
+        if pq.fuzzies or pq.neg_fuzzies:
+            raise NotImplementedError(
+                "fuzzy clauses are not supported inside | branches"
             )
         if not pq.terms:
             raise ValueError(
@@ -422,15 +479,57 @@ def _phrase_filter(index: IndexReader, candidates: DataFrame, pq: ParsedQuery) -
     return joined.filter(cond).drop(*pcols.values())
 
 
+def expand_fuzzy(
+    index: IndexReader,
+    stem: str,
+    dist: int,
+    max_expansions: int = MAX_FUZZY_EXPANSIONS,
+) -> tuple[str, ...]:
+    """All index terms within Levenshtein distance `dist` of `stem`, from
+    the term dictionary (term_stats — tiny next to the postings), sorted.
+
+    Scale shape: the dictionary scan is distributed (length-band prune +
+    JVM-side `levenshtein` with an early-exit threshold); only the matched
+    terms — hard-capped at `max_expansions`, refusal beyond — ever reach
+    the driver, mirroring the north rule's broadcast-term-statistics shape.
+    The expanded set then drives row-group-pruned posting reads (isin on
+    the term-sorted parquet), which a raw levenshtein predicate over the
+    postings could never prune.
+
+    Field-scoped stems ('path\\x1fterm', see fields._prefixed) measure
+    distance on the term part only; the namespace prefix must match
+    exactly (and prunes the dictionary scan like any prefix).
+    """
+    ns, _, core = stem.rpartition(FIELD_SEP)
+    terms = index.term_stats().select("term").distinct()
+    if ns:
+        ns = ns + FIELD_SEP
+        terms = terms.filter(F.col("term").startswith(ns))
+        cand = F.substring(F.col("term"), len(ns) + 1, 1 << 20)
+    else:
+        cand = F.col("term")
+    matched = terms.filter(
+        (F.abs(F.length(cand) - F.lit(len(core))) <= dist)
+        & (F.levenshtein(cand, F.lit(core), dist) >= 0)
+    )
+    rows = matched.limit(max_expansions + 1).collect()
+    if len(rows) > max_expansions:
+        raise ValueError(
+            f"fuzzy clause {core!r}~{dist} expands to more than "
+            f"{max_expansions} terms; narrow it or lower the distance"
+        )
+    return tuple(sorted(r["term"] for r in rows))
+
+
 def prefix_doc_filter(
     index: IndexReader,
     pq: ParsedQuery,
     filter_docs: DataFrame | None = None,
 ) -> DataFrame | None:
-    """Fold the query's prefix clauses into a doc-id restriction DataFrame:
-    a doc passes when it contains >=1 term matching EVERY positive prefix
-    and no term matching any negative prefix.  Returns `filter_docs`
-    unchanged (possibly None) when the query has no prefix clauses.
+    """Fold the query's prefix AND fuzzy clauses into a doc-id restriction
+    DataFrame: a doc passes when it contains >=1 term matching EVERY
+    positive clause and no term matching any negative clause.  Returns
+    `filter_docs` unchanged (possibly None) when the query has neither.
 
     Scale shape: each clause is a startswith filter on the posting blocks
     (term-sorted parquet -> row-group min/max pruning), decoded and
@@ -441,19 +540,19 @@ def prefix_doc_filter(
     live_docs(), the same corpus-scale semi-join the unlimited
     valuesearch context uses."""
     out = filter_docs.select("doc_id") if filter_docs is not None else None
-    for p in pq.prefixes:
-        s = (
-            live_postings(index, term_cond=F.col("term").startswith(p))
-            .select("doc_id")
-            .distinct()
-        )
+    pos_conds = [F.col("term").startswith(p) for p in pq.prefixes] + [
+        F.col("term").isin(list(expand_fuzzy(index, stem, d)))
+        for stem, d in pq.fuzzies
+    ]
+    neg_conds = [F.col("term").startswith(p) for p in pq.neg_prefixes] + [
+        F.col("term").isin(list(expand_fuzzy(index, stem, d)))
+        for stem, d in pq.neg_fuzzies
+    ]
+    for cond in pos_conds:
+        s = live_postings(index, term_cond=cond).select("doc_id").distinct()
         out = s if out is None else out.join(s, "doc_id", "left_semi")
-    for p in pq.neg_prefixes:
-        s = (
-            live_postings(index, term_cond=F.col("term").startswith(p))
-            .select("doc_id")
-            .distinct()
-        )
+    for cond in neg_conds:
+        s = live_postings(index, term_cond=cond).select("doc_id").distinct()
         if out is None:
             out = index.live_docs().select("doc_id")
         out = out.join(s, "doc_id", "left_anti")
@@ -467,17 +566,17 @@ def prefix_only_topk(
     offset: int,
     filter_docs: DataFrame,
 ) -> DataFrame:
-    """Page a prefix-only query (no scoring terms): every clause is
+    """Page a prefix/fuzzy-only query (no scoring terms): every clause is
     constant-score, so all matches tie at PREFIX_SCORE * n_clauses and the
     deterministic doc_id order IS the ranking. `filter_docs` must already
-    carry the folded prefix restriction (prefix_doc_filter). Shared by the
+    carry the folded clause restriction (prefix_doc_filter). Shared by the
     exact and WAND entry points — no posting-traversal kernel needed."""
     base = filter_docs
     if pq.neg_terms:
         neg = live_postings(index, list(pq.neg_terms)).select("doc_id").distinct()
         base = base.join(neg, "doc_id", "left_anti")
     base = _phrase_filter(index, base, pq)  # negated phrases still apply
-    score = float(PREFIX_SCORE * len(pq.prefixes))
+    score = float(PREFIX_SCORE * pq.const_clauses)
     return _rank_page(
         base.select("doc_id", F.lit(score).alias("score")), k, offset
     )
@@ -540,10 +639,10 @@ def exact_topk(
         return _rank_page(agg, k, offset)
 
     pq = branches[0]
-    if not pq.terms and not pq.prefixes:
+    if not pq.terms and not pq.const_clauses:
         raise ValueError("query has no positive terms")
     filter_docs = prefix_doc_filter(index, pq, filter_docs)
-    prefix_const = PREFIX_SCORE * len(pq.prefixes)
+    prefix_const = PREFIX_SCORE * pq.const_clauses
 
     if not pq.terms:
         return prefix_only_topk(index, pq, k, offset, filter_docs)

@@ -52,6 +52,10 @@ def _prefixed(pq: ParsedQuery, path: str) -> ParsedQuery:
         neg_prefixes=tuple(p(t) for t in pq.neg_prefixes),
         phrase_slops=pq.phrase_slops,
         neg_phrase_slops=pq.neg_phrase_slops,
+        # fuzzy stems scope the same way; expand_fuzzy measures edit
+        # distance on the term part after the namespace separator
+        fuzzies=tuple((p(t), d) for t, d in pq.fuzzies),
+        neg_fuzzies=tuple((p(t), d) for t, d in pq.neg_fuzzies),
     )
 
 
@@ -142,7 +146,7 @@ class FieldIndex:
         from .wand import wand_topk
 
         pq = parse_query(query_text, self.reader.analyzer)
-        if not pq.terms and not pq.prefixes:
+        if not pq.terms and not pq.const_clauses:
             raise ValueError("query has no positive terms")
         n_keep = offset + k
         fmap = self.fieldmap.filter(F.col("path_key").isin(list(paths)))
@@ -191,7 +195,7 @@ class FieldIndex:
         from .wand import match_docs
 
         pq = parse_query(query_text, self.reader.analyzer)
-        if not pq.terms and not pq.prefixes:
+        if not pq.terms and not pq.const_clauses:
             raise ValueError("query has no positive terms")
         fmap = self.fieldmap.filter(F.col("path_key").isin(list(paths)))
         frow_filter = None

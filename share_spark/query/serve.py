@@ -43,6 +43,45 @@ import pandas as pd
 def _entry_nbytes(entry: tuple) -> int:
     return sum(a.nbytes for a in entry)
 
+
+def _lev_mask(cands: list, stem: str, d: int) -> np.ndarray:
+    """Boolean mask over `cands`: standard Levenshtein(cand, stem) <= d.
+
+    Vectorized Wagner-Fischer across the candidate batch: candidates are
+    padded into one (n, L) codepoint matrix (utf-32 decode — no per-char
+    Python loop) and the DP runs len(stem) * L scalar iterations of
+    whole-array numpy ops. Each candidate's distance is read at its own
+    true length, so padding never leaks in. Must agree exactly with the
+    distributed path's JVM `levenshtein` (both are plain codepoint edit
+    distance, no transpositions) — rank identity across tiers depends on
+    the two expansions producing the same term set."""
+    n = len(cands)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    lens = np.fromiter((len(c) for c in cands), dtype=np.int64, count=n)
+    L = max(1, int(lens.max()))
+    padded = "".join(c.ljust(L, "\0") for c in cands)
+    mat = np.frombuffer(padded.encode("utf-32-le"), dtype=np.uint32).reshape(
+        n, L
+    )
+    m = len(stem)
+    stem_codes = np.frombuffer(stem.encode("utf-32-le"), dtype=np.uint32)
+    prev = np.broadcast_to(
+        np.arange(L + 1, dtype=np.int64), (n, L + 1)
+    ).copy()
+    for i in range(1, m + 1):
+        cur = np.empty_like(prev)
+        cur[:, 0] = i
+        sc = stem_codes[i - 1]
+        for j in range(1, L + 1):
+            cost = (mat[:, j - 1] != sc).astype(np.int64)
+            cur[:, j] = np.minimum(
+                np.minimum(prev[:, j] + 1, cur[:, j - 1] + 1),
+                prev[:, j - 1] + cost,
+            )
+        prev = cur
+    return prev[np.arange(n), lens] <= d
+
 from ..index.build import IndexReader
 from .bm25 import (
     PREFIX_SCORE,
@@ -70,6 +109,10 @@ class TopKServer:
     # single-letter prefix decoding half the vocabulary; the distributed
     # paths expand unbounded — they stream, this tier holds arrays)
     max_prefix_expansions: int = 1024
+    # same refusal bound for fuzzy clauses (`dnag~1`) — must match the
+    # distributed MAX_FUZZY_EXPANSIONS default so both tiers refuse the
+    # same queries instead of one silently diverging
+    max_fuzzy_expansions: int = 1024
     # (shard_idx, n_shards) chunk striping: this server decodes only blocks
     # whose chunk % n_shards == shard_idx. Stats (n_docs, avgdl, df) stay
     # GLOBAL — BM25 scores are identical to the unsharded server, so a
@@ -362,6 +405,60 @@ class TopKServer:
                     )
         return sorted(out)
 
+    def _expand_fuzzy(self, stem: str, dist: int) -> list[str]:
+        """All index terms within Levenshtein distance `dist` of `stem`
+        (field-scoped stems 'path\\x1fterm' measure distance on the term
+        part; the namespace must match exactly and prunes via the sorted
+        row-group dictionaries like a prefix). Length-band prune first,
+        then the vectorized DP (_lev_mask) over the surviving candidates.
+        Same refusal-over-truncation contract as _expand_prefix; the term
+        set must equal bm25.expand_fuzzy's for rank identity."""
+        from ..index.build import FIELD_SEP
+
+        ns, _, core = stem.rpartition(FIELD_SEP)
+        if ns:
+            ns = ns + FIELD_SEP
+        hi = ns + "\U0010ffff" if ns else None
+        out: set[str] = set()
+        for g in self._gens:
+            gen = g["generation"]
+            stage = self._postings_stage(gen)
+            for mn, mx, pf, rg in self._term_directory(gen, stage):
+                if ns and (mx < ns or mn >= hi):
+                    continue
+                terms = self._rg_terms(pf, rg)
+                if ns:
+                    lo_i = np.searchsorted(terms, ns, side="left")
+                    hi_i = np.searchsorted(terms, hi, side="left")
+                    terms = terms[lo_i:hi_i]
+                if not terms.size:
+                    continue
+                cores = (
+                    [t[len(ns):] for t in terms.tolist()]
+                    if ns
+                    else terms.tolist()
+                )
+                lens = np.fromiter(
+                    (len(c) for c in cores), dtype=np.int64, count=len(cores)
+                )
+                band = np.abs(lens - len(core)) <= dist
+                cand = [c for c, ok in zip(cores, band) if ok]
+                if not cand:
+                    continue
+                mask = _lev_mask(cand, core, dist)
+                out.update(
+                    ns + c if ns else c
+                    for c, ok in zip(cand, mask)
+                    if ok
+                )
+                if len(out) > self.max_fuzzy_expansions:
+                    raise ValueError(
+                        f"fuzzy clause {core!r}~{dist} expands to more than "
+                        f"{self.max_fuzzy_expansions} terms on the serve "
+                        "tier; narrow it or lower the distance"
+                    )
+        return sorted(out)
+
     def _read_row_groups(
         self, gen: int, stage: str, terms: list[str], columns: list[str]
     ) -> "pd.DataFrame | None":
@@ -555,7 +652,7 @@ class TopKServer:
         validate_branches(branches)
         multi = len(branches) > 1
         pq: ParsedQuery = branches[0]
-        if not multi and not pq.terms and not pq.prefixes:
+        if not multi and not pq.terms and not pq.const_clauses:
             raise ValueError("query has no positive terms")
         pos_terms = tuple(
             dict.fromkeys(t for br in branches for t in br.terms)
@@ -577,7 +674,16 @@ class TopKServer:
                 p: self._expand_prefix(p)
                 for p in dict.fromkeys(pq.prefixes + pq.neg_prefixes)
             } if not multi else {}
-            exp_terms = [t for ts in expansions.values() for t in ts]
+            fexpansions = {
+                f: self._expand_fuzzy(*f)
+                for f in dict.fromkeys(pq.fuzzies + pq.neg_fuzzies)
+            } if not multi else {}
+            exp_terms = [
+                t
+                for ts in list(expansions.values())
+                + list(fexpansions.values())
+                for t in ts
+            ]
             all_terms = list(
                 dict.fromkeys(
                     pos_terms
@@ -626,10 +732,16 @@ class TopKServer:
         # clause's live expansion lists), composed exactly like the
         # distributed filter channel: positives intersect, negatives
         # subtract; the kernel then sees a plain allow_ids array
-        prefix_const = PREFIX_SCORE * len(pq.prefixes)
+        prefix_const = PREFIX_SCORE * pq.const_clauses
+        pos_sets = [expansions[p] for p in pq.prefixes] + [
+            fexpansions[f] for f in pq.fuzzies
+        ]
+        neg_sets = [expansions[p] for p in pq.neg_prefixes] + [
+            fexpansions[f] for f in pq.neg_fuzzies
+        ]
         allow = None
-        for p in pq.prefixes:
-            parts = [lists[t][0] for t in expansions[p] if t in lists]
+        for ts in pos_sets:
+            parts = [lists[t][0] for t in ts if t in lists]
             s = (
                 np.unique(np.concatenate(parts))
                 if parts
@@ -643,8 +755,8 @@ class TopKServer:
             if allow.size == 0:
                 return []
         deny = None
-        for p in pq.neg_prefixes:
-            parts = [lists[t][0] for t in expansions[p] if t in lists]
+        for ts in neg_sets:
+            parts = [lists[t][0] for t in ts if t in lists]
             if parts:
                 s = np.unique(np.concatenate(parts))
                 deny = s if deny is None else np.union1d(deny, s)

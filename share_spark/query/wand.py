@@ -603,13 +603,13 @@ def wand_topk(
     validate_branches(branches)
     if len(branches) == 1:
         pq = branches[0]
-        if not pq.terms and not pq.prefixes:
+        if not pq.terms and not pq.const_clauses:
             raise ValueError("query has no positive terms")
-        if pq.prefixes or pq.neg_prefixes:
+        if pq.prefixes or pq.neg_prefixes or pq.fuzzies or pq.neg_fuzzies:
             filter_docs = prefix_doc_filter(index, pq, filter_docs)
         if not pq.terms:
             return prefix_only_topk(index, pq, k, offset, filter_docs)
-        prefix_const = PREFIX_SCORE * len(pq.prefixes)
+        prefix_const = PREFIX_SCORE * pq.const_clauses
     else:
         prefix_const = 0.0  # validate_branches bans prefixes in branches
 
@@ -902,9 +902,9 @@ def match_docs(
     validate_branches(branches)
     if len(branches) == 1:
         pq = branches[0]
-        if not pq.terms and not pq.prefixes:
+        if not pq.terms and not pq.const_clauses:
             raise ValueError("query has no positive terms")
-        if pq.prefixes or pq.neg_prefixes:
+        if pq.prefixes or pq.neg_prefixes or pq.fuzzies or pq.neg_fuzzies:
             filter_docs = prefix_doc_filter(index, pq, filter_docs)
         if not pq.terms:
             # prefix-only: the folded filter set IS the match set (boolean

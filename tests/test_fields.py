@@ -185,3 +185,39 @@ def test_compile_valuesearch_scoped_text_context(
     assert got == want
     with _pytest.raises(ValueError, match="FieldIndex"):
         compile_valuesearch(params, built_index, dv, value_type="iri")
+
+
+def test_scoped_fuzzy_stays_inside_field(field_index, pages_pdf):
+    """A fuzzy clause ('dta~1') scoped to a path must expand only within
+    that path's term namespace and match only docs whose FIELD carries a
+    term within distance — mirroring the scoped-prefix semantics."""
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    titles = _title_tokens(pages_pdf)
+    want = {
+        d for d, toks in titles.items()
+        if any(lev(t, "dta") <= 1 for t in toks)
+    }
+    got = {
+        r["doc_id"]
+        for r in field_index.scoped_topk("dta~1", ["title"], k=300).collect()
+    }
+    assert got == want and got
+    # in-title matches are a strict subset of anywhere-matches
+    got_any = {
+        r["doc_id"]
+        for r in field_index.scoped_match_docs(
+            "dta~1", ["title", "abstract"]
+        ).collect()
+    }
+    assert got <= got_any and got_any > got

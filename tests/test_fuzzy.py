@@ -1,0 +1,198 @@
+"""Fuzzy queries (`dnag~1` — the simple_query_string FUZZY flag;
+elastic8.py:242-257 passes the query string through unchanged, so ES-side
+fuzzy syntax reaches Lucene's FuzzyQuery).
+
+Semantics under test, pinned against the frozen oracle: a positive fuzzy
+clause is a required membership constraint (doc contains >=1 index term
+within Levenshtein distance N of the stem) scored as a CONSTANT +1.0 — the
+constant-score analog of Lucene's multi-term rewrite, shared with prefix
+clauses; a negative clause excludes. All execution paths — exact, WAND
+(both plans), serve, sharded serve — must be rank- AND score-identical,
+which requires the distributed (JVM levenshtein) and serve (numpy DP)
+expansions to produce the same term set.
+"""
+
+import pytest
+
+from share_spark.query.bm25 import (
+    MAX_FUZZY_DISTANCE,
+    PREFIX_SCORE,
+    exact_topk,
+    expand_fuzzy,
+    parse_query,
+)
+from share_spark.query.serve import ShardedTopKServer, TopKServer, _lev_mask
+from share_spark.query.wand import match_docs, wand_topk
+
+from .frozen_bm25 import FrozenIndex
+
+
+def lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+QUERIES = [
+    "dnger~1",                       # typo-correction, single expansion
+    "dnger~",                        # bare ~ -> default distance 2
+    "w00031~1",                      # wide expansion (many wNNNNN terms)
+    "warning dnger~1",               # term + fuzzy
+    "the~2",                         # stem IS a term; expands to siblings
+    "the -dnger~1",                  # negative fuzzy
+    "dnger~1 wrning~1",              # two fuzzy clauses
+    "zzznope~1 the",                 # zero-expansion fuzzy -> empty
+    "dnger~1 -warning",              # fuzzy-only with negated term
+    'dnger~1 -"repulsive to us"',    # fuzzy-only with negated phrase
+    "danger* dnger~1",               # prefix + fuzzy compose
+]
+
+
+@pytest.fixture(scope="module")
+def frozen(pages_pdf):
+    return FrozenIndex.from_pages(pages_pdf)
+
+
+def fuzzy_hits(fz: FrozenIndex, toks: set, stem: str, d: int) -> bool:
+    return any(
+        abs(len(t) - len(stem)) <= d and lev(t, stem) <= d for t in toks
+    )
+
+
+def oracle_topk(fz: FrozenIndex, qtext: str, k: int = 13):
+    """Fuzzy/prefix-aware exact oracle on the frozen index's primitives."""
+    pq = parse_query(qtext, fz.analyzer)
+    rows = []
+    for d, cnt in fz.tf.items():
+        toks = set(cnt)
+        if any(not any(t.startswith(p) for t in toks) for p in pq.prefixes):
+            continue
+        if any(any(t.startswith(p) for t in toks) for p in pq.neg_prefixes):
+            continue
+        if any(not fuzzy_hits(fz, toks, s, n) for s, n in pq.fuzzies):
+            continue
+        if any(fuzzy_hits(fz, toks, s, n) for s, n in pq.neg_fuzzies):
+            continue
+        if any(t in toks for t in pq.neg_terms):
+            continue
+        if any(not fz._has_phrase(d, ph) for ph in pq.phrases):
+            continue
+        if any(fz._has_phrase(d, ph) for ph in pq.neg_phrases):
+            continue
+        s = fz.score(d, list(pq.terms)) if pq.terms else 0.0
+        if s == float("-inf"):
+            continue
+        rows.append((d, s + PREFIX_SCORE * pq.const_clauses))
+    rows.sort(key=lambda x: (-x[1], x[0]))
+    return [(i + 1, d, round(s, 9)) for i, (d, s) in enumerate(rows[:k])]
+
+
+def _rows(df):
+    return [(r["rank"], r["doc_id"], round(r["score"], 9)) for r in df.collect()]
+
+
+@pytest.mark.parametrize("qtext", QUERIES)
+def test_exact_fuzzy_matches_oracle(built_index, frozen, qtext):
+    assert _rows(exact_topk(built_index, qtext, k=13)) == oracle_topk(
+        frozen, qtext
+    )
+
+
+@pytest.mark.parametrize("qtext", QUERIES)
+def test_wand_fuzzy_matches_oracle(built_index, frozen, qtext):
+    want = oracle_topk(frozen, qtext)
+    assert _rows(wand_topk(built_index, qtext, k=13)) == want
+    assert (
+        _rows(wand_topk(built_index, qtext, k=13, single_phase_max_chunks=0))
+        == want
+    )
+
+
+@pytest.fixture(scope="module")
+def server(built_index):
+    return TopKServer.open(built_index.index_dir)
+
+
+@pytest.fixture(scope="module")
+def sharded(built_index):
+    return ShardedTopKServer.open(built_index.index_dir, n_shards=3)
+
+
+@pytest.mark.parametrize("qtext", QUERIES)
+def test_serve_fuzzy_matches_oracle(server, sharded, frozen, qtext):
+    want = [(d, s) for _, d, s in oracle_topk(frozen, qtext)]
+    got = [(d, round(s, 9)) for d, s, _ in server.topk(qtext, k=13)]
+    assert got == want
+    got_sh = [(d, round(s, 9)) for d, s, _ in sharded.topk(qtext, k=13)]
+    assert got_sh == want
+
+
+def test_expansions_agree_across_tiers(built_index, server, frozen):
+    """The distributed (JVM levenshtein) and serve (numpy DP) expansions
+    must produce the SAME term set — rank identity depends on it."""
+    for stem, d in [("dnger", 1), ("w00031", 1), ("the", 2), ("data", 2)]:
+        dist = set(expand_fuzzy(built_index, stem, d))
+        srv = set(server._expand_fuzzy(stem, d))
+        want = {
+            t for doc in frozen.tf.values() for t in doc if lev(t, stem) <= d
+        }
+        assert dist == srv == want
+
+
+def test_match_docs_fuzzy(built_index, frozen):
+    got = {r["doc_id"] for r in match_docs(built_index, "dnger~1").collect()}
+    want = {d for d, cnt in frozen.tf.items() if "danger" in cnt}
+    assert got == want and got
+
+
+def test_fuzzy_paging(built_index, frozen):
+    full = oracle_topk(frozen, "w00031~1", k=20)
+    page2 = _rows(exact_topk(built_index, "w00031~1", k=5, offset=5))
+    assert page2 == full[5:10]
+    page2w = _rows(wand_topk(built_index, "w00031~1", k=5, offset=5))
+    assert page2w == full[5:10]
+
+
+def test_degenerate_and_refusals(built_index, server):
+    with pytest.raises(ValueError, match="no positive terms"):
+        exact_topk(built_index, "-dnger~1")
+    with pytest.raises(ValueError, match="fuzzy distance"):
+        parse_query(f"word~{MAX_FUZZY_DISTANCE + 1}")
+    # expansion caps: consistent refusal on both tiers
+    with pytest.raises(ValueError, match="expands to more than 5"):
+        expand_fuzzy(built_index, "w00031", 2, max_expansions=5)
+    srv = TopKServer.open(built_index.index_dir)
+    srv.max_fuzzy_expansions = 5
+    with pytest.raises(ValueError, match="expands to more than 5"):
+        srv.topk("w00031~2", k=5)
+    with pytest.raises(NotImplementedError, match="fuzzy"):
+        exact_topk(built_index, "dnger~1 | the")
+
+
+def test_parse_fuzzy_shapes():
+    pq = parse_query('alpha~1 -beta~2 gamma~ "a phrase"~1 delta~0 plain')
+    assert pq.fuzzies == (("alpha", 1), ("gamma", 2))
+    assert pq.neg_fuzzies == (("beta", 2),)
+    # ~0 is exact; quoted ~N is slop, not fuzziness
+    assert pq.terms == ("a", "phrase", "delta", "plain")
+    assert pq.phrase_slops == (1,)
+    # a bare '~' is not a clause
+    assert parse_query("~ plain").fuzzies == ()
+
+
+def test_lev_mask_kernel():
+    cands = ["danger", "dangers", "dagger", "dnger", "x", "", "dang"]
+    import numpy as np
+
+    got = _lev_mask(cands, "danger", 1)
+    want = np.array([lev(c, "danger") <= 1 for c in cands])
+    assert (got == want).all()
+    got2 = _lev_mask(cands, "danger", 2)
+    want2 = np.array([lev(c, "danger") <= 2 for c in cands])
+    assert (got2 == want2).all()
