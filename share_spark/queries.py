@@ -223,12 +223,23 @@ def _ft_disjunction(spark, sf_dir):
     )
 
 
-def _ft_not(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    return docs.filter(
-        F.array_contains(toks, "spark") & ~F.array_contains(toks, "slow")
-    ).select("doc_id")
+FUZZY_QUERY = "sprk~2 -slow"
+
+
+def _ft_fuzzy(spark, sf_dir):
+    """Fuzzy clause + negated term through the REAL index path: `sprk~2`
+    expands over the term dictionary (query/bm25.py expand_fuzzy — JVM
+    levenshtein, length-banded) to {sort, spark}, constant-score membership
+    (doc contains >=1 expanded term), minus docs containing `slow`. All
+    scores tie at the +1.0 constant, so doc_id order IS the ranking — the
+    oracle pins expansion, negation, constant scoring, and paging at once."""
+    idx = _indexed(spark, sf_dir)
+    out = wand_topk(idx, FUZZY_QUERY, k=BM25_K + 10)
+    return (
+        out.select("doc_id", F.round("score", 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(BM25_K)
+    )
 
 
 def _term_stats_top(spark, sf_dir):
@@ -1212,7 +1223,10 @@ QUERIES = {
     # to hold the 50-entry budget while ft_highlight keeps its row
     "ft_disjunction": _ft_disjunction,
     "ft_highlight": _ft_highlight,
-    "ft_not": _ft_not,
+    # ft_not upgraded into ft_fuzzy (same 50-entry slot): negation now
+    # rides the real index path alongside the fuzzy expansion instead of
+    # an inline array_contains filter
+    "ft_fuzzy": _ft_fuzzy,
     "term_stats_top": _term_stats_top,
     "corpus_stats": _corpus_stats,
     # filters / aggs / sorts / paging (SURVEY.md §2.2, §2.4, §2.6)
@@ -1714,11 +1728,21 @@ ORACLES = {
         FROM sel JOIN frags ON sel.doc_id = frags.doc_id
         ORDER BY rank, fragno
     """,
-    "ft_not": (
-        "SELECT doc_id FROM documents WHERE "
-        "list_contains(string_split(text,' '),'spark') AND NOT "
-        "list_contains(string_split(text,' '),'slow')"
-    ),
+    "ft_fuzzy": f"""
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS term
+          FROM documents
+        ),
+        matched AS (
+          SELECT DISTINCT doc_id FROM toks
+          WHERE term <> '' AND levenshtein(term, 'sprk') <= 2
+        )
+        SELECT doc_id, 1.0 AS score FROM matched
+        WHERE doc_id NOT IN (
+          SELECT DISTINCT doc_id FROM toks WHERE term = 'slow'
+        )
+        ORDER BY doc_id LIMIT {BM25_K}
+    """,
     "term_stats_top": """
         SELECT term, count(DISTINCT doc_id) AS df
         FROM (SELECT doc_id, unnest(string_split(text,' ')) AS term
