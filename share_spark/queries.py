@@ -313,15 +313,6 @@ def _related_props(spark, sf_dir):
     )
 
 
-def _sort_int_page(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
-    return (
-        docs.select("doc_id", F.coalesce("n_chars", F.lit(0)).alias("n_chars"))
-        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
-        .limit(13)
-    )
-
-
 def _paging_offset(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", F.coalesce("n_chars", F.lit(0)).alias("n_chars")
@@ -514,9 +505,10 @@ _WINNOW_ORACLE = """
 
 
 def _text_quality(spark, sf_dir):
-    """Quality metrics + token counting in one per-doc projection (the
-    former token_counts entry folded in, keeping both operators under a
-    driver-oracle row inside the runner's entry budget)."""
+    """Quality metrics + token counting + language ID in one per-doc
+    projection (the former token_counts and langid entries folded in,
+    keeping all three operators under a driver-oracle row inside the
+    runner's entry budget)."""
     docs = _t(spark, sf_dir, "documents")
     tq = textops.text_quality(docs).select(
         "doc_id",
@@ -529,13 +521,47 @@ def _text_quality(spark, sf_dir):
         F.col("n_tokens_ws").cast("long").alias("n_tokens_ws"),
         F.col("n_tokens_bpe").cast("long").alias("n_tokens_bpe"),
     )
-    return tq.join(tc, "doc_id")
+    li = textops.langid(docs).select("doc_id", "lang_pred")
+    return tq.join(tc, "doc_id").join(li, "doc_id")
 
 
-def _langid(spark, sf_dir):
-    return textops.langid(_t(spark, sf_dir, "documents")).select(
-        "doc_id", "lang_pred"
+def _pii_scrub(spark, sf_dir):
+    """PII redaction (textops.scrub_pii): emails / IPv4s / phone numbers
+    replaced with typed placeholders, per-category counts for auditing.
+    The corpus is synthetic-clean, so deterministic PII is injected from
+    doc_id in BOTH engines — the row pins the ordered regex scrub itself."""
+    docs = _t(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"), F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0."),
+            (F.col("doc_id") % 256).cast("string"), F.lit(".7"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(" call 555-123-4567"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
     )
+    out = textops.scrub_pii(injected)
+    return out.select(
+        "doc_id",
+        F.col("n_email").cast("long").alias("n_email"),
+        F.col("n_ipv4").cast("long").alias("n_ipv4"),
+        F.col("n_phone").cast("long").alias("n_phone"),
+        "text_scrubbed",
+    )
+
+
+def _decontaminate(spark, sf_dir):
+    """Eval-set decontamination (textops.decontaminate): docs sharing any
+    word 4-gram with the held-out set (docs with doc_id % 97 == 0 stand in
+    for a benchmark) are flagged; broadcast gram semi-join, corpus never
+    shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    evals = docs.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("eval_id"), "text"
+    )
+    return textops.decontaminate(docs, evals, n=4)
 
 
 def _repetition_metrics(spark, sf_dir):
@@ -1235,7 +1261,8 @@ QUERIES = {
     "events_sessionize": _events_sessionize,
     "date_histogram_years": _date_histogram_years,
     "related_props": _related_props,
-    "sort_int_page": _sort_int_page,
+    # sort_int_page folded into paging_offset (page-1 of the identical
+    # ordering) to free slots for the pipeline-hygiene rows below
     "paging_offset": _paging_offset,
     "oai_keyset": _oai_keyset,
     "feed_recent": _feed_recent,
@@ -1254,8 +1281,9 @@ QUERIES = {
     "dedup_simhash_pairs": _dedup_simhash_pairs,
     "neardup_embeddings": _neardup_embeddings,
     "events_windowed_counts": _events_windowed_counts,
-    "text_quality": _text_quality,
-    "langid": _langid,
+    "text_quality": _text_quality,  # + token_counts + langid folded in
+    "pii_scrub": _pii_scrub,
+    "decontaminate": _decontaminate,
     # similarity
     "knn_bruteforce": _knn_bruteforce,
     "knn_lsh": _knn_lsh,
@@ -1789,10 +1817,6 @@ ORACLES = {
         FROM documents GROUP BY source
         ORDER BY usage_count DESC, source
     """,
-    "sort_int_page": """
-        SELECT doc_id, coalesce(n_chars, 0) AS n_chars FROM documents
-        ORDER BY n_chars DESC, doc_id LIMIT 13
-    """,
     "paging_offset": """
         SELECT doc_id, n_chars, rank FROM (
           SELECT doc_id, coalesce(n_chars, 0) AS n_chars,
@@ -1947,28 +1971,71 @@ ORACLES = {
                CAST(len(list_filter(
                  string_split(regexp_replace(text, '([^a-zA-Z0-9_\\s])',
                                              ' \\1 ', 'g'), ' '),
-                 t -> t <> '')) AS BIGINT) AS n_tokens_bpe
+                 t -> t <> '')) AS BIGINT) AS n_tokens_bpe,
+               CASE
+                 WHEN en >= greatest(de, fr, es, 1) THEN 'en'
+                 WHEN de >= greatest(fr, es, 1) THEN 'de'
+                 WHEN fr >= greatest(es, 1) THEN 'fr'
+                 WHEN es >= 1 THEN 'es'
+                 ELSE 'und'
+               END AS lang_pred
         FROM (SELECT doc_id, text,
-                     list_filter(string_split(text,' '), t -> t <> '') AS toks
+                     list_filter(string_split(text,' '), t -> t <> '') AS toks,
+                     len(list_filter(string_split(text,' '), t -> t IN ('the','and','of','to','in','is','that','for','with','was'))) AS en,
+                     len(list_filter(string_split(text,' '), t -> t IN ('der','die','das','und','ist','nicht','mit','ein','von','zu'))) AS de,
+                     len(list_filter(string_split(text,' '), t -> t IN ('le','la','les','et','est','pas','pour','dans','une','que'))) AS fr,
+                     len(list_filter(string_split(text,' '), t -> t IN ('el','los','las','es','no','por','para','una','con','del'))) AS es
               FROM documents)
     """,
-    "langid": """
-        SELECT doc_id,
-          CASE
-            WHEN en >= greatest(de, fr, es, 1) THEN 'en'
-            WHEN de >= greatest(fr, es, 1) THEN 'de'
-            WHEN fr >= greatest(es, 1) THEN 'fr'
-            WHEN es >= 1 THEN 'es'
-            ELSE 'und'
-          END AS lang_pred
-        FROM (
+    "pii_scrub": """
+        WITH inj AS (
           SELECT doc_id,
-            len(list_filter(toks, t -> t IN ('the','and','of','to','in','is','that','for','with','was'))) AS en,
-            len(list_filter(toks, t -> t IN ('der','die','das','und','ist','nicht','mit','ein','von','zu'))) AS de,
-            len(list_filter(toks, t -> t IN ('le','la','les','et','est','pas','pour','dans','une','que'))) AS fr,
-            len(list_filter(toks, t -> t IN ('el','los','las','es','no','por','para','una','con','del'))) AS es
-          FROM (SELECT doc_id, string_split(text,' ') AS toks FROM documents)
+                 text || ' contact u' || doc_id || '@example.com from 10.0.'
+                      || (doc_id % 256) || '.7'
+                      || CASE WHEN doc_id % 3 = 0
+                              THEN ' call 555-123-4567' ELSE '' END AS t
+          FROM documents
+        ),
+        s1 AS (
+          SELECT doc_id,
+                 len(regexp_extract_all(t, '@EMAIL@')) AS n_email,
+                 regexp_replace(t, '@EMAIL@', '<EMAIL>', 'g') AS t
+          FROM inj
+        ),
+        s2 AS (
+          SELECT doc_id, n_email,
+                 len(regexp_extract_all(t, '@IPV4@')) AS n_ipv4,
+                 regexp_replace(t, '@IPV4@', '<IPV4>', 'g') AS t
+          FROM s1
         )
+        SELECT doc_id,
+               CAST(n_email AS BIGINT) AS n_email,
+               CAST(n_ipv4 AS BIGINT) AS n_ipv4,
+               CAST(len(regexp_extract_all(t, '@PHONE@')) AS BIGINT)
+                 AS n_phone,
+               regexp_replace(t, '@PHONE@', '<PHONE>', 'g') AS text_scrubbed
+        FROM s2
+    """,
+    "decontaminate": """
+        WITH t AS (
+          SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '')
+                   AS toks
+          FROM documents
+        ),
+        dg AS (
+          SELECT DISTINCT doc_id, array_to_string(toks[i:i+3], ' ') AS ngram
+          FROM t, unnest(range(1, greatest(len(toks) - 3, 0) + 1)) AS u(i)
+          WHERE len(toks) >= 4
+        ),
+        eg AS (SELECT DISTINCT ngram FROM dg WHERE doc_id % 97 = 0),
+        hits AS (
+          SELECT doc_id, count(*) AS n FROM dg
+          JOIN eg USING (ngram) GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(n, 0) AS BIGINT) AS n_contaminated_grams,
+               coalesce(n, 0) > 0 AS contaminated
+        FROM documents d LEFT JOIN hits USING (doc_id)
     """,
     "knn_bruteforce": _knn_oracle("ORDER BY cos DESC, vec_id LIMIT 10"),
     "knn_lsh": _knn_lsh_oracle(4, 10),
@@ -2079,6 +2146,16 @@ ORACLES = {
         LIMIT 11
     """,
 }
+
+# Splice the PII regexes into the oracle from the single source of truth
+# (textops.PII_PATTERNS) — embedding them literally in this file would
+# mangle backslashes through Python string escaping.
+ORACLES["pii_scrub"] = (
+    ORACLES["pii_scrub"]
+    .replace("@EMAIL@", dict(textops.PII_PATTERNS)["email"])
+    .replace("@IPV4@", dict(textops.PII_PATTERNS)["ipv4"])
+    .replace("@PHONE@", dict(textops.PII_PATTERNS)["phone"])
+)
 
 
 def clear_index_cache() -> None:

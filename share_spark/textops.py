@@ -664,3 +664,87 @@ def dedup_lines(
         .cast("long")
         .alias("n_removed"),
     )
+
+
+# ------------------------------------------------------------- PII scrubbing
+
+#: (category, regex) applied IN ORDER — each category's count is taken on
+#: the text as already scrubbed by the previous categories, so an IPv4's
+#: digits can never double-count as a phone number. Patterns restrict to
+#: the RE2-compatible subset (no backrefs, no lookaround) so the Java-regex
+#: engine (Spark) and RE2 (DuckDB oracle) agree character-for-character.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+    ("phone", r"(\+\d{1,2}[-. ])?\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"),
+)
+
+
+def scrub_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """C4/RefinedWeb-style PII redaction: emails, IPv4 addresses, and
+    phone numbers replaced with typed placeholders ('<EMAIL>', '<IPV4>',
+    '<PHONE>'), with per-category match counts for corpus auditing.
+
+    Returns (doc_id, n_email, n_ipv4, n_phone, text_scrubbed).
+
+    Scale shape: a pure map — three regexp_count + regexp_replace chains,
+    all JVM-side inside whole-stage codegen; no shuffle, no UDF, trivially
+    partition-parallel at any corpus size."""
+    cols = []
+    cur = F.col(text_col)
+    for name, pat in PII_PATTERNS:
+        cols.append(F.regexp_count(cur, F.lit(pat)).alias(f"n_{name}"))
+        cur = F.regexp_replace(cur, pat, f"<{name.upper()}>")
+    return docs.select("doc_id", *cols, cur.alias("text_scrubbed"))
+
+
+# -------------------------------------------------------- decontamination
+
+def decontaminate(
+    docs: DataFrame,
+    eval_texts: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """GPT-3-style eval-set decontamination: flag every document sharing
+    at least one word n-gram with a held-out evaluation set (GPT-3 used
+    13-grams; `n` is the knob). `eval_texts` must carry (eval_id, text).
+
+    Returns (doc_id, n_contaminated_grams, contaminated) over ALL docs.
+
+    Scale shape: document n-grams are generated map-side (higher-order
+    array fns, distinct per doc); the eval-set gram table is tiny by
+    nature (benchmarks are KB..MB against a 100 TB corpus) so the overlap
+    join is an explicit broadcast — the corpus never shuffles, and the
+    per-doc aggregation is partial-aggregated on the gram join's output,
+    which is at most (docs x eval grams) hits, in practice a sliver."""
+    doc_grams = ngram_rows(docs, n, text_col)
+    eval_grams = (
+        ngram_rows(
+            eval_texts.select(
+                F.col("eval_id").alias("doc_id"), F.col(text_col)
+            ),
+            n,
+            text_col,
+        )
+        .select("ngram")
+        .distinct()
+    )
+    hits = (
+        doc_grams.join(F.broadcast(eval_grams), "ngram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_contaminated_grams"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_contaminated_grams"), F.lit(0))
+            .cast("long")
+            .alias("n_contaminated_grams"),
+            (F.coalesce(F.col("n_contaminated_grams"), F.lit(0)) > 0).alias(
+                "contaminated"
+            ),
+        )
+    )

@@ -353,3 +353,61 @@ def test_dedup_lines_preserves_structure(line_docs):
 def test_dedup_lines_guard():
     with pytest.raises(ValueError):
         textops.dedup_lines(None, min_occurrences=1)
+
+
+def test_scrub_pii(spark):
+    rows = [
+        (0, "mail me at jo.doe+x@sub.example.org or admin@test.io now"),
+        (1, "server at 10.0.255.7 and 192.168.1.1 responded"),
+        (2, "call 555-123-4567 or +1 555 987 6543 today"),
+        (3, "mixed: a@b.co from 8.8.8.8 dial 555-000-1111"),
+        (4, "clean text with no sensitive content at all"),
+        (5, "version 1.2.3 costs 12.50 not an ip or phone"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    got = {r["doc_id"]: r for r in textops.scrub_pii(df).collect()}
+    assert (got[0]["n_email"], got[0]["n_ipv4"], got[0]["n_phone"]) == (2, 0, 0)
+    assert got[0]["text_scrubbed"] == "mail me at <EMAIL> or <EMAIL> now"
+    assert (got[1]["n_email"], got[1]["n_ipv4"], got[1]["n_phone"]) == (0, 2, 0)
+    assert got[1]["text_scrubbed"] == "server at <IPV4> and <IPV4> responded"
+    assert (got[2]["n_email"], got[2]["n_ipv4"], got[2]["n_phone"]) == (0, 0, 2)
+    assert got[2]["text_scrubbed"] == "call <PHONE> or <PHONE> today"
+    assert (got[3]["n_email"], got[3]["n_ipv4"], got[3]["n_phone"]) == (1, 1, 1)
+    assert got[3]["text_scrubbed"] == "mixed: <EMAIL> from <IPV4> dial <PHONE>"
+    assert (got[4]["n_email"], got[4]["n_ipv4"], got[4]["n_phone"]) == (0, 0, 0)
+    assert got[4]["text_scrubbed"] == rows[4][1]
+    # version strings / prices are neither IPs nor phones; an IPv4 already
+    # scrubbed can never re-count as a phone (ordered scrub)
+    assert (got[5]["n_email"], got[5]["n_ipv4"], got[5]["n_phone"]) == (0, 0, 0)
+
+
+def test_decontaminate(spark):
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                (0, "alpha beta gamma delta epsilon zeta"),
+                (1, "unrelated words entirely here my friend"),
+                (2, "prefix alpha beta gamma delta filler tail"),
+                (3, "beta gamma delta epsilon trailing words"),
+                (4, "short text"),
+            ],
+            columns=["doc_id", "text"],
+        )
+    )
+    evals = spark.createDataFrame(
+        pd.DataFrame(
+            [(100, "xx alpha beta gamma delta epsilon yy")],
+            columns=["eval_id", "text"],
+        )
+    )
+    got = {
+        r["doc_id"]: (r["n_contaminated_grams"], r["contaminated"])
+        for r in textops.decontaminate(docs, evals, n=4).collect()
+    }
+    # eval 4-grams: {xx a b g, a b g d, b g d e, g d e yy}
+    assert got[0] == (2, True)     # 'a b g d' and 'b g d e'
+    assert got[1] == (0, False)
+    assert got[2] == (1, True)     # 'a b g d'
+    assert got[3] == (1, True)     # 'b g d e'
+    assert got[4] == (0, False)    # shorter than n -> no grams
+    assert len(got) == 5           # every doc gets a row
