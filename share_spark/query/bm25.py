@@ -13,6 +13,9 @@ tests pinned at _common_trovesearch_tests.py:455-474):
 - '-' prefix negates a term or phrase
 - 'dang*' prefix clauses (the PREFIX flag, on by default in ES): required
   membership, constant-score +1.0 each (Lucene constant-score rewrite)
+- '(a | b) c' parenthesized precedence (the PRECEDENCE flag): DNF-rewritten
+  to the flat `|` form before parsing ('a c | b c'), branch-sum scoring;
+  -(a | b) De Morgans to '-a -b', -(a b) is refused (see expand_precedence)
 - 'dnag~1' fuzzy clauses (the FUZZY flag): required membership in the set
   of index terms within Levenshtein edit distance N of the stem (N<=2, the
   Lucene FuzzyQuery bound; bare 'dnag~' defaults to 2), scored as the same
@@ -196,6 +199,141 @@ def parse_query(text: str, analyzer: str = "standard") -> ParsedQuery:
     )
 
 
+#: Hard bound on the flat branches a parenthesized query may expand to
+#: (DNF blowup is exponential in group count; refuse, never truncate).
+MAX_DNF_BRANCHES = 16
+
+
+def _parse_alternatives(text: str, i: int, depth: int):
+    """Recursive-descent parse of the PRECEDENCE grammar:
+    alternatives := sequence ('|' sequence)*, sequence := unit*,
+    unit := quoted | '-'? '(' alternatives ')' | word.
+    Returns (list of alternatives, next index); each alternative is a list
+    of units — plain text strings, ('g', alts) groups, or ('ng', alts)
+    negated groups. Quotes protect all operator characters."""
+    alts: list[list] = []
+    seq: list = []
+    buf: list[str] = []
+
+    def flush_buf():
+        tok = "".join(buf).strip()
+        buf.clear()
+        if tok:
+            seq.append(tok)
+
+    n = len(text)
+    while i < n:
+        ch = text[i]
+        if ch == '"':
+            # consume the whole quoted segment (incl. optional ~N slop)
+            j = text.find('"', i + 1)
+            j = n - 1 if j == -1 else j
+            end = j + 1
+            while end < n and (text[end] == "~" or text[end].isdigit()):
+                end += 1
+            flush_buf()
+            seq.append(text[i:end])
+            i = end
+        elif ch == "(" or (
+            ch == "-" and i + 1 < n and text[i + 1] == "("
+        ):
+            neg = ch == "-"
+            flush_buf()
+            inner, i = _parse_alternatives(text, i + (2 if neg else 1), depth + 1)
+            seq.append(("ng" if neg else "g", inner))
+        elif ch == ")":
+            if depth == 0:
+                raise ValueError("unbalanced ')' in query")
+            flush_buf()
+            alts.append(seq)
+            return alts, i + 1
+        elif ch == "|":
+            flush_buf()
+            alts.append(seq)
+            seq = []
+            i += 1
+        else:
+            buf.append(ch)
+            i += 1
+    if depth > 0:
+        raise ValueError("unbalanced '(' in query")
+    flush_buf()
+    alts.append(seq)
+    return alts, i
+
+
+def _expand_alts(alts: list) -> list[str]:
+    """DNF expansion: alternatives of sequences of units -> flat branch
+    strings. A positive group multiplies the current branch set by its own
+    expansion (cartesian product); a negated group is De Morgan'd — legal
+    only when every inner branch is a single positive atom, so
+    -(a | b) -> '-a -b' appended to each branch, while -(a b) (an OR of
+    negations) is refused: it cannot be a conjunctive constraint."""
+    branches = [""]
+    for alt in alts:
+        parts = [""]
+        for unit in alt:
+            if isinstance(unit, str):
+                parts = [f"{p} {unit}" for p in parts]
+            elif unit[0] == "g":
+                sub = _expand_alts(unit[1])
+                parts = [f"{p} {s}" for p in parts for s in sub]
+            else:
+                sub = _expand_alts(unit[1])
+                atoms = []
+                for s in sub:
+                    words = s.split()
+                    if len(words) != 1 or words[0].startswith("-"):
+                        raise NotImplementedError(
+                            "negated groups support only alternatives of "
+                            "single positive atoms (De Morgan: -(a | b) "
+                            "== -a -b); rewrite the query"
+                        )
+                    atoms.append("-" + words[0])
+                joined = " ".join(atoms)
+                parts = [f"{p} {joined}" for p in parts]
+            if len(parts) > MAX_DNF_BRANCHES:
+                raise ValueError(
+                    f"query expands to more than {MAX_DNF_BRANCHES} "
+                    "branches; simplify the grouping"
+                )
+        branches = [b for b in branches if b.strip()] + [
+            p.strip() for p in parts if p.strip()
+        ]
+        if len(branches) > MAX_DNF_BRANCHES:
+            raise ValueError(
+                f"query expands to more than {MAX_DNF_BRANCHES} "
+                "branches; simplify the grouping"
+            )
+    return branches
+
+
+def _has_toplevel_paren(text: str) -> bool:
+    in_quote = False
+    for ch in text:
+        if ch == '"':
+            in_quote = not in_quote
+        elif ch == "(" and not in_quote:
+            return True
+    return False
+
+
+def expand_precedence(text: str) -> list[str]:
+    """Parenthesized precedence (the simple_query_string PRECEDENCE flag)
+    by DNF rewrite: 'a (b | c)' expands to the flat form 'a b | a c' and
+    then follows the existing `|` semantics exactly — a doc matches when
+    any expanded branch matches, scoring the SUM of its matching branches'
+    scores. Documented deviation from Lucene's nested BooleanQuery (which
+    scores shared MUST clauses once, not per matching branch); the result
+    is identical to what the user would get writing the expanded query
+    themselves, and rank identity across exact/WAND/serve holds because
+    the expansion happens before any execution path forks."""
+    if not _has_toplevel_paren(text):
+        return [text]
+    alts, _ = _parse_alternatives(text, 0, 0)
+    return _expand_alts(alts)
+
+
 def split_disjunction(text: str) -> list[str]:
     """Split on the `|` OR operator at top level (quotes protect `|` inside
     phrases). Left-flat alternation, the simple_query_string shape."""
@@ -222,9 +360,13 @@ def parse_disjunction(
     score is the SUM of the matching branches' scores (Lucene BooleanQuery
     SHOULD-clause summing). One branch == plain parse_query. Empty segments
     (doubled or trailing `|`) are dropped."""
-    parts = split_disjunction(text)
+    parts = [
+        seg
+        for flat in expand_precedence(text)
+        for seg in split_disjunction(flat)
+    ]
     if len(parts) == 1:
-        return (parse_query(text, analyzer),)
+        return (parse_query(parts[0], analyzer),)
     branches = []
     for seg in parts:
         pq = parse_query(seg, analyzer)
