@@ -196,3 +196,54 @@ def test_lev_mask_kernel():
     got2 = _lev_mask(cands, "danger", 2)
     want2 = np.array([lev(c, "danger") <= 2 for c in cands])
     assert (got2 == want2).all()
+
+
+# --------------------------------------------------------- generative fuzz
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_ALPHA = "abcdefghijklmnopqrstuvwxyz0123456789"
+
+
+@st.composite
+def mutated_stems(draw, frozen):
+    """A real vocab word with 0-2 random single-char edits (substitute /
+    delete / insert) — the realistic typo distribution — plus a distance."""
+    ranked = [t for t, _ in frozen.df.most_common()]
+    word = draw(st.sampled_from(ranked[:40]))
+    n_edits = draw(st.integers(0, 2))
+    w = list(word)
+    for _ in range(n_edits):
+        op = draw(st.sampled_from(["sub", "del", "ins"]))
+        if op == "del" and len(w) > 2:
+            del w[draw(st.integers(0, len(w) - 1))]
+        elif op == "ins":
+            w.insert(
+                draw(st.integers(0, len(w))), draw(st.sampled_from(_ALPHA))
+            )
+        else:
+            w[draw(st.integers(0, len(w) - 1))] = draw(
+                st.sampled_from(_ALPHA)
+            )
+    stem = "".join(w)
+    dist = draw(st.integers(1, 2))
+    extra = draw(st.sampled_from([None] + ranked[:6]))
+    q = f"{stem}~{dist}" + (f" {extra}" if extra else "")
+    return q
+
+
+@settings(max_examples=150, deadline=None)
+@given(data=st.data())
+def test_serve_fuzzy_oracle_fuzz(server, frozen, data):
+    """Generated typo stems through the serve tier vs the Levenshtein-
+    extended frozen oracle — widens the fixed QUERIES list to the real
+    typo space (mutations of actual vocabulary)."""
+    q = data.draw(mutated_stems(frozen))
+    try:
+        got = [(d, round(s, 9)) for d, s, _ in server.topk(q, k=13)]
+    except ValueError as e:
+        assert "expands to more than" in str(e)
+        return
+    want = [(d, s) for _, d, s in oracle_topk(frozen, q)]
+    assert got == want, q

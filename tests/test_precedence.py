@@ -94,3 +94,74 @@ def test_serve_equals_flat(server, built_index, grouped, flat):
     ]
     got = [(d, round(s, 9)) for d, s, _ in server.topk(grouped, k=13)]
     assert got == want
+
+
+# --------------------------------------------------------- generative fuzz
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+from .frozen_bm25 import FrozenIndex  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def frozen(pages_pdf):
+    return FrozenIndex.from_pages(pages_pdf)
+
+
+def _vocab(frozen):
+    ranked = [t for t, _ in frozen.df.most_common()]
+    return sorted(set(ranked[:10] + ranked[30:40])) + ["zzmissingzz"]
+
+
+@st.composite
+def grouped_queries(draw, frozen):
+    """Random conjunction of units where each unit is a term or a group of
+    1-3 single-term alternatives; the FLAT equivalent is built by the
+    GENERATOR (cartesian product), independently of expand_precedence."""
+    vocab = _vocab(frozen)
+    units = []
+    for _ in range(draw(st.integers(1, 3))):
+        if draw(st.booleans()):
+            units.append([draw(st.sampled_from(vocab))])
+        else:
+            units.append(
+                draw(
+                    st.lists(
+                        st.sampled_from(vocab), min_size=1, max_size=3,
+                        unique=True,
+                    )
+                )
+            )
+    grouped = " ".join(
+        u[0] if len(u) == 1 else "(" + " | ".join(u) + ")" for u in units
+    )
+    flat_branches = [""]
+    for u in units:
+        flat_branches = [f"{b} {t}".strip() for b in flat_branches for t in u]
+    flat = " | ".join(flat_branches)
+    neg = draw(st.sampled_from([None] + _vocab(frozen)[:6]))
+    if neg and len(flat_branches) == 1:
+        grouped += f" -{neg}"
+        flat += f" -{neg}"
+    return grouped, flat
+
+
+@settings(max_examples=150, deadline=None)
+@given(data=st.data())
+def test_grouped_equals_generator_flattened_fuzz(server, frozen, data):
+    """server.topk(grouped) must equal server.topk(flat) where `flat` was
+    cartesian-producted by the TEST GENERATOR — an independent check of
+    the DNF rewrite, not a self-comparison."""
+    grouped, flat = data.draw(grouped_queries(frozen))
+    try:
+        got = server.topk(grouped, k=13)
+    except ValueError as e:
+        # only the documented refusals are acceptable
+        assert "branches" in str(e) or "no positive terms" in str(e)
+        return
+    try:
+        want = server.topk(flat, k=13)
+    except ValueError:
+        return  # e.g. every branch dead -> both must refuse identically
+    assert got == want, (grouped, flat)
