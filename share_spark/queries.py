@@ -205,7 +205,10 @@ def _ft_highlight(spark, sf_dir):
     )
 
 
-DISJ_QUERY = "spark join | stream window"
+#: Written in the parenthesized PRECEDENCE form — expand_precedence
+#: rewrites it to 'spark join | stream window' before parsing, so this one
+#: row drives the paren parser AND the branch kernel under the same oracle.
+DISJ_QUERY = "(spark join) | (stream window)"
 
 
 def _ft_disjunction(spark, sf_dir):
