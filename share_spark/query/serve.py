@@ -143,6 +143,16 @@ class TopKServer:
     # so residency is O(row groups) of the open generations (the term
     # dictionary itself), cleared whenever the generation list changes.
     _dsets: dict = field(default_factory=dict)
+    # (stem, dist) -> expanded term list; the vocabulary DP is the
+    # expensive part of a fuzzy query, and typo distributions are heavy-
+    # tailed (the same misspellings recur), so a small LRU pays for
+    # itself. Bounded by count (entries are <= max_fuzzy_expansions short
+    # strings); cleared whenever the generation list changes, same as the
+    # other caches.
+    _fuzzy_cache: "OrderedDict[tuple, list]" = field(
+        default_factory=OrderedDict
+    )
+    max_cached_fuzzy_expansions: int = 512
     # coarse lock over cache fill/eviction — a serving tier answers many
     # queries concurrently; scoring itself is lock-free numpy
     _lock: threading.RLock = field(default_factory=threading.RLock)
@@ -181,6 +191,7 @@ class TopKServer:
             self._term_cache_nbytes = 0
             self._stats_cache.clear()
             self._dsets.clear()
+            self._fuzzy_cache.clear()
         self._gens = gens
         self.k1 = gens[0]["k1"]
         self.b = gens[0]["b"]
@@ -412,8 +423,14 @@ class TopKServer:
         row-group dictionaries like a prefix). Length-band prune first,
         then the vectorized DP (_lev_mask) over the surviving candidates.
         Same refusal-over-truncation contract as _expand_prefix; the term
-        set must equal bm25.expand_fuzzy's for rank identity."""
+        set must equal bm25.expand_fuzzy's for rank identity. Results are
+        LRU-cached per (stem, dist) — callers already hold self._lock."""
         from ..index.build import FIELD_SEP
+
+        ckey = (stem, dist)
+        if ckey in self._fuzzy_cache:
+            self._fuzzy_cache.move_to_end(ckey)
+            return self._fuzzy_cache[ckey]
 
         ns, _, core = stem.rpartition(FIELD_SEP)
         if ns:
@@ -457,7 +474,11 @@ class TopKServer:
                         f"{self.max_fuzzy_expansions} terms on the serve "
                         "tier; narrow it or lower the distance"
                     )
-        return sorted(out)
+        expansion = sorted(out)
+        self._fuzzy_cache[ckey] = expansion
+        if len(self._fuzzy_cache) > self.max_cached_fuzzy_expansions:
+            self._fuzzy_cache.popitem(last=False)
+        return expansion
 
     def _read_row_groups(
         self, gen: int, stage: str, terms: list[str], columns: list[str]

@@ -247,3 +247,20 @@ def test_serve_fuzzy_oracle_fuzz(server, frozen, data):
         return
     want = [(d, s) for _, d, s in oracle_topk(frozen, q)]
     assert got == want, q
+
+
+def test_serve_fuzzy_expansion_cache(built_index):
+    srv = TopKServer.open(built_index.index_dir)
+    r1 = srv.topk("dnger~1 the", k=5)
+    assert ("dnger", 1) in srv._fuzzy_cache
+    cached = srv._fuzzy_cache[("dnger", 1)]
+    r2 = srv.topk("dnger~1 the", k=5)
+    assert r1 == r2 and srv._fuzzy_cache[("dnger", 1)] is cached
+    # generation change invalidates (refresh with same gens keeps it)
+    srv.refresh()
+    assert ("dnger", 1) in srv._fuzzy_cache  # same build -> kept
+    # LRU bound holds
+    srv.max_cached_fuzzy_expansions = 2
+    srv._expand_fuzzy("wrning", 1)
+    srv._expand_fuzzy("plce", 1)
+    assert len(srv._fuzzy_cache) <= 2
