@@ -44,17 +44,48 @@ def _entry_nbytes(entry: tuple) -> int:
     return sum(a.nbytes for a in entry)
 
 
-def _lev_mask(cands: list, stem: str, d: int) -> np.ndarray:
-    """Boolean mask over `cands`: standard Levenshtein(cand, stem) <= d.
+def _lev_dp(mat: np.ndarray, stem: str) -> np.ndarray:
+    """Vectorized Wagner-Fischer over a (n, L) codepoint matrix (candidates
+    padded with 0): returns the full final DP row (n, L+1) so callers can
+    gather each candidate's distance at its own true length. len(stem) * L
+    scalar iterations of whole-array numpy ops — no per-candidate Python.
+    Plain codepoint edit distance, no transpositions: must agree exactly
+    with the distributed path's JVM `levenshtein` (rank identity across
+    tiers depends on the two expansions producing the same term set)."""
+    n, L = mat.shape
+    m = len(stem)
+    stem_codes = np.frombuffer(stem.encode("utf-32-le"), dtype=np.uint32)
+    # int16 cells (distances are <= m+L << 2^15) and in-place ops: the DP
+    # is memory-bandwidth-bound over vocabulary-sized buckets, so cell
+    # width and temporaries dominate wall time (int64 + fresh allocations
+    # per row measured ~3x slower at a 190k-term bucket)
+    prev = np.broadcast_to(
+        np.arange(L + 1, dtype=np.int16), (n, L + 1)
+    ).copy()
+    cur = np.empty_like(prev)
+    sub = np.empty(n, dtype=np.int16)
+    ins = np.empty(n, dtype=np.int16)
+    for i in range(1, m + 1):
+        cur[:, 0] = i
+        sc = stem_codes[i - 1]
+        for j in range(1, L + 1):
+            np.add(
+                prev[:, j - 1],
+                (mat[:, j - 1] != sc).view(np.int8),
+                out=sub,
+                casting="unsafe",
+            )
+            np.minimum(prev[:, j], cur[:, j - 1], out=ins)
+            ins += 1
+            np.minimum(sub, ins, out=cur[:, j])
+        prev, cur = cur, prev
+    return prev
 
-    Vectorized Wagner-Fischer across the candidate batch: candidates are
-    padded into one (n, L) codepoint matrix (utf-32 decode — no per-char
-    Python loop) and the DP runs len(stem) * L scalar iterations of
-    whole-array numpy ops. Each candidate's distance is read at its own
-    true length, so padding never leaks in. Must agree exactly with the
-    distributed path's JVM `levenshtein` (both are plain codepoint edit
-    distance, no transpositions) — rank identity across tiers depends on
-    the two expansions producing the same term set."""
+
+def _lev_mask(cands: list, stem: str, d: int) -> np.ndarray:
+    """Boolean mask over `cands` (a Python list of strings): standard
+    Levenshtein(cand, stem) <= d, via _lev_dp on a padded codepoint matrix
+    (utf-32 decode — no per-char Python loop)."""
     n = len(cands)
     if n == 0:
         return np.zeros(0, dtype=bool)
@@ -64,23 +95,8 @@ def _lev_mask(cands: list, stem: str, d: int) -> np.ndarray:
     mat = np.frombuffer(padded.encode("utf-32-le"), dtype=np.uint32).reshape(
         n, L
     )
-    m = len(stem)
-    stem_codes = np.frombuffer(stem.encode("utf-32-le"), dtype=np.uint32)
-    prev = np.broadcast_to(
-        np.arange(L + 1, dtype=np.int64), (n, L + 1)
-    ).copy()
-    for i in range(1, m + 1):
-        cur = np.empty_like(prev)
-        cur[:, 0] = i
-        sc = stem_codes[i - 1]
-        for j in range(1, L + 1):
-            cost = (mat[:, j - 1] != sc).astype(np.int64)
-            cur[:, j] = np.minimum(
-                np.minimum(prev[:, j] + 1, cur[:, j - 1] + 1),
-                prev[:, j - 1] + cost,
-            )
-        prev = cur
-    return prev[np.arange(n), lens] <= d
+    final = _lev_dp(mat, stem)
+    return final[np.arange(n), lens] <= d
 
 from ..index.build import IndexReader
 from .bm25 import (
@@ -416,12 +432,46 @@ class TopKServer:
                     )
         return sorted(out)
 
+    def _vocab_buckets(self) -> dict:
+        """Vocabulary grouped by TERM LENGTH, each bucket a (sorted term
+        array, (n, L) uint32 codepoint matrix) pair — built ONCE per
+        generation list from the row-group term dictionaries and cached in
+        _dsets (cleared with the other caches on generation change).
+
+        This is the serving analog of a Levenshtein automaton's dictionary
+        walk, shaped for numpy: a fuzzy query touches only the buckets
+        inside its length band (|len - len(stem)| <= d) and runs the DP on
+        prebuilt matrices — no per-query string decode of the vocabulary.
+        The matrices are the vocabulary re-encoded as UCS4 (~4 bytes/char,
+        bounded by the term dictionary itself), so residency is O(vocab),
+        same class as the cached dictionaries they derive from."""
+        key = ("vocabbuckets",)
+        if key in self._dsets:
+            return self._dsets[key]
+        terms: set[str] = set()
+        for g in self._gens:
+            gen = g["generation"]
+            stage = self._postings_stage(gen)
+            for _mn, _mx, pf, rg in self._term_directory(gen, stage):
+                terms.update(self._rg_terms(pf, rg).tolist())
+        by_len: dict[int, list] = {}
+        for t in terms:
+            by_len.setdefault(len(t), []).append(t)
+        buckets = {}
+        for L, ts in by_len.items():
+            ts.sort()
+            arr = np.array(ts, dtype=f"U{L}")
+            mat = arr.view(np.uint32).reshape(len(ts), L)
+            buckets[L] = (np.array(ts, dtype=object), mat)
+        self._dsets[key] = buckets
+        return buckets
+
     def _expand_fuzzy(self, stem: str, dist: int) -> list[str]:
         """All index terms within Levenshtein distance `dist` of `stem`
         (field-scoped stems 'path\\x1fterm' measure distance on the term
-        part; the namespace must match exactly and prunes via the sorted
-        row-group dictionaries like a prefix). Length-band prune first,
-        then the vectorized DP (_lev_mask) over the surviving candidates.
+        part; the namespace must match exactly and prunes each bucket via
+        binary search like a prefix). Length-banded bucket walk over the
+        precomputed vocabulary matrices, then the vectorized DP (_lev_dp).
         Same refusal-over-truncation contract as _expand_prefix; the term
         set must equal bm25.expand_fuzzy's for rank identity. Results are
         LRU-cached per (stem, dist) — callers already hold self._lock."""
@@ -435,45 +485,34 @@ class TopKServer:
         ns, _, core = stem.rpartition(FIELD_SEP)
         if ns:
             ns = ns + FIELD_SEP
-        hi = ns + "\U0010ffff" if ns else None
-        out: set[str] = set()
-        for g in self._gens:
-            gen = g["generation"]
-            stage = self._postings_stage(gen)
-            for mn, mx, pf, rg in self._term_directory(gen, stage):
-                if ns and (mx < ns or mn >= hi):
-                    continue
-                terms = self._rg_terms(pf, rg)
-                if ns:
-                    lo_i = np.searchsorted(terms, ns, side="left")
-                    hi_i = np.searchsorted(terms, hi, side="left")
-                    terms = terms[lo_i:hi_i]
-                if not terms.size:
-                    continue
-                cores = (
-                    [t[len(ns):] for t in terms.tolist()]
-                    if ns
-                    else terms.tolist()
+        buckets = self._vocab_buckets()
+        out: list[str] = []
+        lo_len = len(ns) + max(1, len(core) - dist)
+        hi_len = len(ns) + len(core) + dist
+        for L in range(lo_len, hi_len + 1):
+            if L not in buckets:
+                continue
+            terms_arr, mat = buckets[L]
+            if ns:
+                lo_i = np.searchsorted(terms_arr, ns, side="left")
+                hi_i = np.searchsorted(
+                    terms_arr, ns + "\U0010ffff", side="left"
                 )
-                lens = np.fromiter(
-                    (len(c) for c in cores), dtype=np.int64, count=len(cores)
+                terms_sel = terms_arr[lo_i:hi_i]
+                mat_sel = mat[lo_i:hi_i, len(ns):]
+            else:
+                terms_sel, mat_sel = terms_arr, mat
+            if not terms_sel.size:
+                continue
+            final = _lev_dp(mat_sel, core)
+            hit = final[:, L - len(ns)] <= dist
+            out.extend(terms_sel[hit].tolist())
+            if len(out) > self.max_fuzzy_expansions:
+                raise ValueError(
+                    f"fuzzy clause {core!r}~{dist} expands to more than "
+                    f"{self.max_fuzzy_expansions} terms on the serve "
+                    "tier; narrow it or lower the distance"
                 )
-                band = np.abs(lens - len(core)) <= dist
-                cand = [c for c, ok in zip(cores, band) if ok]
-                if not cand:
-                    continue
-                mask = _lev_mask(cand, core, dist)
-                out.update(
-                    ns + c if ns else c
-                    for c, ok in zip(cand, mask)
-                    if ok
-                )
-                if len(out) > self.max_fuzzy_expansions:
-                    raise ValueError(
-                        f"fuzzy clause {core!r}~{dist} expands to more than "
-                        f"{self.max_fuzzy_expansions} terms on the serve "
-                        "tier; narrow it or lower the distance"
-                    )
         expansion = sorted(out)
         self._fuzzy_cache[ckey] = expansion
         if len(self._fuzzy_cache) > self.max_cached_fuzzy_expansions:
