@@ -195,9 +195,16 @@ def run(spark=None, emit=True) -> dict:
     # top-k ops: collect (tiny results); table ops: count (the action drives
     # the full computation; collecting millions of pairs would bench the
     # driver's deserializer, not the engine)
+    # knn_bruteforce left the oracle registry (ivf pins the same oracle)
+    # but stays benched through its def — same timing continuity
+    from share_spark.queries import _knn_bruteforce
+
+    t0 = time.time()
+    _knn_bruteforce(spark, SF_DIR).collect()
+    results["knn_bruteforce"] = round(time.time() - t0, 3)
+
     for name, action in (
         ("ft_bm25_topk", "collect"),
-        ("knn_bruteforce", "collect"),
         ("term_stats_top", "collect"),
         ("dedup_minhash_lsh", "count"),
         ("text_quality", "count"),

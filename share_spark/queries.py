@@ -22,7 +22,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from . import graph, similarity, textops
+from . import graph, similarity, textops, urltools
 from .index.build import IndexConfig, IndexReader, build_index
 from .query.wand import wand_topk
 
@@ -582,6 +582,43 @@ def _query_vec(spark, sf_dir) -> list[float]:
         _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0).first()
     )
     return [float(x) for x in row["embedding"]]
+
+
+def _url_canonical(spark, sf_dir):
+    """URL canonicalization + url-keyed dedup (share_spark/urltools.py):
+    scheme/case/www/port/trailing-slash/tracking-param variants collapse
+    to one canonical form. The documents table carries no url column, so
+    deterministic variants are synthesized from doc_id in BOTH engines —
+    four spellings per page identity, two canonical groups each."""
+    docs = _t(spark, sf_dir, "documents")
+    base = F.concat(
+        F.lit("site"), (F.col("doc_id") % 23).cast("string"),
+        F.lit(".example"),
+    )
+    page = F.concat(F.lit("/page/"), (F.col("doc_id") % 7).cast("string"))
+    m4 = F.col("doc_id") % 4
+    url = (
+        F.when(m4 == 0, F.concat(F.lit("https://"), base, page))
+        .when(m4 == 1, F.concat(F.lit("HTTP://www."), base, page, F.lit("/")))
+        .when(
+            m4 == 2,
+            F.concat(F.lit("https://"), base, page,
+                     F.lit("?utm_source=x&b=2&a=1")),
+        )
+        .otherwise(
+            F.concat(F.lit("https://"), base, F.lit(":443"), page,
+                     F.lit("?b=2&a=1"))
+        )
+    )
+    canon = urltools.canonicalize_urls(
+        docs.select("doc_id", url.alias("url"))
+    )
+    sizes = canon.groupBy("url_canonical").agg(
+        F.count("*").cast("long").alias("group_size")
+    )
+    return canon.join(sizes, "url_canonical").select(
+        "doc_id", "url_canonical", "host", "registered_domain", "group_size"
+    )
 
 
 def _knn_bruteforce(spark, sf_dir):
@@ -1288,7 +1325,9 @@ QUERIES = {
     "pii_scrub": _pii_scrub,
     "decontaminate": _decontaminate,
     # similarity
-    "knn_bruteforce": _knn_bruteforce,
+    # knn_bruteforce folded out (knn_ivf_fullprobe pins the SAME brute-
+    # force oracle; the op stays pytest-covered and benched directly)
+    "url_canonical": _url_canonical,
     "knn_lsh": _knn_lsh,
 }
 
@@ -2040,7 +2079,61 @@ ORACLES = {
                coalesce(n, 0) > 0 AS contaminated
         FROM documents d LEFT JOIN hits USING (doc_id)
     """,
-    "knn_bruteforce": _knn_oracle("ORDER BY cos DESC, vec_id LIMIT 10"),
+    "url_canonical": """
+        WITH u AS (
+          SELECT doc_id,
+            CASE doc_id % 4
+              WHEN 0 THEN 'https://site' || (doc_id % 23) ||
+                          '.example/page/' || (doc_id % 7)
+              WHEN 1 THEN 'HTTP://www.site' || (doc_id % 23) ||
+                          '.example/page/' || (doc_id % 7) || '/'
+              WHEN 2 THEN 'https://site' || (doc_id % 23) ||
+                          '.example/page/' || (doc_id % 7) ||
+                          '?utm_source=x&b=2&a=1'
+              ELSE 'https://site' || (doc_id % 23) || '.example:443/page/' ||
+                   (doc_id % 7) || '?b=2&a=1'
+            END AS url
+          FROM documents
+        ),
+        c1 AS (
+          SELECT doc_id,
+                 regexp_replace(regexp_replace(trim(url), '^(?i)https?://',
+                                               ''), '#.*$', '') AS s
+          FROM u
+        ),
+        parts AS (
+          SELECT doc_id, split_part(s, '?', 1) AS hostpath,
+                 CASE WHEN instr(s, '?') > 0
+                      THEN regexp_replace(s, '^[^?]*\?', '') ELSE '' END AS q
+          FROM c1
+        ),
+        hp AS (
+          SELECT doc_id,
+                 regexp_replace(regexp_replace(
+                   lower(split_part(hostpath, '/', 1)), '^www\.', ''),
+                   ':(80|443)$', '') AS host,
+                 regexp_replace(regexp_replace(hostpath, '^[^/]*', ''),
+                                '/+$', '') AS path,
+                 list_sort(list_filter(string_split(q, '&'),
+                   p -> p <> '' AND NOT regexp_matches(p,
+                     '^(utm_[^=]*|fbclid|gclid|ref)='))) AS params
+          FROM parts
+        ),
+        canon AS (
+          SELECT doc_id, host,
+                 host || path || CASE WHEN len(params) > 0
+                   THEN '?' || array_to_string(params, '&') ELSE '' END
+                   AS url_canonical
+          FROM hp
+        )
+        SELECT c.doc_id, c.url_canonical, c.host,
+               regexp_extract(c.host, '([^.]+\.[^.]+)$', 1)
+                 AS registered_domain,
+               CAST(g.n AS BIGINT) AS group_size
+        FROM canon c
+        JOIN (SELECT url_canonical, count(*) AS n FROM canon
+              GROUP BY url_canonical) g USING (url_canonical)
+    """,
     "knn_lsh": _knn_lsh_oracle(4, 10),
     "knn_ivf_fullprobe": _knn_oracle("ORDER BY cos DESC, vec_id LIMIT 10"),
     "cardsearch_e2e": f"""

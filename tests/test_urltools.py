@@ -1,0 +1,109 @@
+"""URL canonicalization + url-keyed dedup (share_spark/urltools.py),
+pinned against hand-derived canonical forms and the corpus generator's
+designed scheme/trailing-slash variants."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from share_spark import urltools
+
+CASES = [
+    # (raw, canonical)
+    ("https://Example.COM/Page/One", "example.com/Page/One"),
+    ("HTTP://www.example.com:80/a/", "example.com/a"),
+    ("https://example.com:443/a///", "example.com/a"),
+    ("https://example.com/a#frag", "example.com/a"),
+    ("https://example.com/a?utm_source=tw&b=2&a=1", "example.com/a?a=1&b=2"),
+    ("https://example.com/a?fbclid=xyz&gclid=1&ref=hn", "example.com/a"),
+    ("https://example.com/?q=a?b", "example.com?q=a?b"),
+    ("  https://example.com/a  ", "example.com/a"),
+    ("https://sub.www.example.com/a", "sub.www.example.com/a"),  # only LEADING www.
+    ("https://example.com", "example.com"),
+    ("http://example.com/", "example.com"),
+]
+
+
+@pytest.fixture(scope="module")
+def url_df(spark):
+    pdf = pd.DataFrame(
+        [(i, raw) for i, (raw, _c) in enumerate(CASES)],
+        columns=["doc_id", "url"],
+    )
+    return spark.createDataFrame(pdf)
+
+
+def test_canonical_forms(url_df):
+    got = {
+        r["doc_id"]: r["url_canonical"]
+        for r in urltools.canonicalize_urls(url_df).collect()
+    }
+    for i, (raw, want) in enumerate(CASES):
+        assert got[i] == want, (raw, got[i], want)
+
+
+def test_host_and_registered_domain(url_df):
+    rows = {
+        r["doc_id"]: (r["host"], r["registered_domain"])
+        for r in urltools.canonicalize_urls(url_df).collect()
+    }
+    assert rows[0] == ("example.com", "example.com")
+    assert rows[8] == ("sub.www.example.com", "example.com")
+    # a host-only url with query keeps the host clean
+    assert rows[6] == ("example.com", "example.com")
+
+
+def test_url_duplicates_on_generated_corpus(spark):
+    """make_web_pages emits scheme+trailing-slash url variants —
+    url_duplicates must find exactly the groups a python twin derives
+    from the actual url column."""
+    import re
+    from collections import Counter
+
+    from share_spark.corpus import make_web_pages
+
+    pdf = make_web_pages(300, seed=42)
+    df = spark.createDataFrame(pdf[["doc_id", "url"]])
+
+    def canon(u):
+        return re.sub(r"^https?://", "", u).rstrip("/")
+
+    members: dict[str, list[int]] = {}
+    for r in pdf.itertuples():
+        members.setdefault(canon(r.url), []).append(int(r.doc_id))
+    want = {
+        c: (len(ids), min(ids)) for c, ids in members.items() if len(ids) > 1
+    }
+    got = {
+        r["url_canonical"]: (r["group_size"], r["keep_doc_id"])
+        for r in urltools.url_duplicates(df).collect()
+    }
+    assert got == want and got  # at least one designed variant pair
+
+
+def test_host_stats(spark):
+    pdf = pd.DataFrame(
+        [
+            (0, "https://a.example/x"),
+            (1, "http://a.example/x/"),
+            (2, "https://a.example/y"),
+            (3, "https://b.example/z"),
+        ],
+        columns=["doc_id", "url"],
+    )
+    df = spark.createDataFrame(pdf)
+    got = {
+        r["host"]: (r["n_docs"], r["n_unique_pages"])
+        for r in urltools.host_stats(df).collect()
+    }
+    assert got == {"a.example": (3, 2), "b.example": (1, 1)}
+
+
+def test_pure_map_no_shuffle(url_df):
+    plan = (
+        urltools.canonicalize_urls(url_df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
