@@ -663,6 +663,34 @@ def expand_fuzzy(
     return tuple(sorted(r["term"] for r in rows))
 
 
+def suggest_terms(
+    index: IndexReader, word: str, k: int = 5, max_dist: int = 2
+) -> DataFrame:
+    """Did-you-mean suggestions, distributed: (term, distance, df) for the
+    top-k dictionary terms within `max_dist` edits of `word`, ranked
+    (distance asc, df desc, term asc) — Lucene DirectSpellChecker's
+    ordering, same dictionary the fuzzy query path expands over. The
+    whole plan is a term_stats scan with the length-band + thresholded
+    levenshtein prune; only k rows survive the TakeOrdered."""
+    toks = tokenize(word, index.analyzer)
+    if len(toks) != 1:
+        raise ValueError(f"suggest takes one analyzable word, got {word!r}")
+    stem = toks[0]
+    stats = index.term_stats().groupBy("term").agg(
+        F.sum("df").cast("long").alias("df")
+    )
+    cand = stats.filter(
+        F.abs(F.length("term") - F.lit(len(stem))) <= max_dist
+    ).withColumn(
+        "distance", F.levenshtein(F.col("term"), F.lit(stem), max_dist)
+    ).filter(F.col("distance") >= 0)
+    return (
+        cand.select("term", F.col("distance").cast("int").alias("distance"), "df")
+        .orderBy(F.asc("distance"), F.desc("df"), F.asc("term"))
+        .limit(k)
+    )
+
+
 def prefix_doc_filter(
     index: IndexReader,
     pq: ParsedQuery,

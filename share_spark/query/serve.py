@@ -82,6 +82,20 @@ def _lev_dp(mat: np.ndarray, stem: str) -> np.ndarray:
     return prev
 
 
+def _lev_one(a: str, b: str) -> int:
+    """Scalar Levenshtein for ranking an already-expanded candidate list
+    (bounded by max_fuzzy_expansions — never vocabulary-sized)."""
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
 def _lev_mask(cands: list, stem: str, d: int) -> np.ndarray:
     """Boolean mask over `cands` (a Python list of strings): standard
     Levenshtein(cand, stem) <= d, via _lev_dp on a padded codepoint matrix
@@ -683,6 +697,34 @@ class TopKServer:
             self._term_cache_nbytes -= _entry_nbytes(
                 self._term_cache.pop(victim)
             )
+
+    def suggest(
+        self, word: str, k: int = 5, max_dist: int = 2
+    ) -> list[tuple[str, int, int]]:
+        """Did-you-mean suggestions: the top-k index terms within edit
+        distance `max_dist` of `word`, as (term, distance, df) ranked by
+        (distance asc, df desc, term asc) — Lucene DirectSpellChecker's
+        ordering. Built from the same bucketed-vocabulary expansion the
+        fuzzy query path uses, so suggestions and `word~N` queries see the
+        same dictionary; df is summed across generations. The exact word,
+        if indexed, ranks first at distance 0 (callers typically skip
+        suggesting when that happens)."""
+        from ..analysis import tokenize
+
+        toks = tokenize(word, self.analyzer)
+        if len(toks) != 1:
+            raise ValueError(
+                f"suggest takes one analyzable word, got {word!r}"
+            )
+        stem = toks[0]
+        with self._lock:
+            cands = self._expand_fuzzy(stem, max_dist)
+            dfs = self._df_of(cands)
+        ranked = sorted(
+            ((t, _lev_one(t, stem), dfs[t]) for t in cands),
+            key=lambda x: (x[1], -x[2], x[0]),
+        )
+        return ranked[:k]
 
     def _df_of(self, terms: list[str]) -> dict[str, int]:
         missing = [t for t in terms if t not in self._stats_cache]

@@ -264,3 +264,33 @@ def test_serve_fuzzy_expansion_cache(built_index):
     srv._expand_fuzzy("wrning", 1)
     srv._expand_fuzzy("plce", 1)
     assert len(srv._fuzzy_cache) <= 2
+
+
+def test_suggest_both_tiers(built_index, server, frozen):
+    """Did-you-mean: serve and distributed suggestions must agree with
+    each other and with a python oracle over the frozen vocabulary."""
+    for word, d in [("dnger", 2), ("warnin", 2), ("the", 1)]:
+        want = sorted(
+            (
+                (t, lev(t, word), df)
+                for t, df in frozen.df.items()
+                if lev(t, word) <= d
+            ),
+            key=lambda x: (x[1], -x[2], x[0]),
+        )[:5]
+        srv = server.suggest(word, k=5, max_dist=d)
+        assert srv == want, (word, srv, want)
+        dist = [
+            (r["term"], r["distance"], r["df"])
+            for r in __import__(
+                "share_spark.query.bm25", fromlist=["suggest_terms"]
+            ).suggest_terms(built_index, word, k=5, max_dist=d).collect()
+        ]
+        assert dist == want, (word, dist, want)
+
+
+def test_suggest_exact_word_ranks_first(server, frozen):
+    out = server.suggest("danger", k=3, max_dist=2)
+    assert out[0][0] == "danger" and out[0][1] == 0
+    with pytest.raises(ValueError, match="one analyzable word"):
+        server.suggest("two words")
