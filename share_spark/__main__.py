@@ -34,7 +34,11 @@ def _cmd_build(args: argparse.Namespace) -> dict:
     from .index.build import IndexConfig, build_index
 
     spark = _get_spark("share_spark_build")
-    if args.warc:
+    if args.wet:
+        from .warc import read_wet
+
+        pages = read_wet(spark, args.pages)
+    elif args.warc:
         from .warc import read_warc
 
         pages = read_warc(spark, args.pages)
@@ -152,6 +156,9 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--warc", action="store_true",
                    help="treat --pages as a directory of WARC files "
                         "(Common-Crawl container; decoded via warc.read_warc)")
+    b.add_argument("--wet", action="store_true",
+                   help="treat --pages as a directory of WET files "
+                        "(pre-extracted text records; warc.read_wet)")
     b.add_argument("--index-dir", required=True)
     b.add_argument("--analyzer", default="standard")
     b.add_argument("--block-size", type=int, default=128)

@@ -262,3 +262,108 @@ def write_warc(records: list[dict], compress: bool = True) -> bytes:
         )
         out += gzip.compress(bytes(warc)) if compress else warc
     return bytes(out)
+
+
+# ------------------------------------------------------------- WET variant
+
+def parse_wet_record(member: bytes, max_record_bytes: int) -> dict | None:
+    """One WET record -> a page dict, or None for non-conversion records.
+
+    WET is Common Crawl's extracted-text sibling of WARC: `conversion`
+    members whose payload is the page text directly (no HTTP envelope),
+    with the source url in WARC-Target-URI. Same member framing, so the
+    gzip-member splitter is shared with the WARC reader."""
+    head_end = member.find(b"\r\n\r\n")
+    if head_end < 0:
+        return None
+    warc_headers = _parse_headers(member[:head_end])
+    if warc_headers.get("warc-type") != "conversion":
+        return None
+    url = warc_headers.get("warc-target-uri")
+    if not url:
+        return None
+    payload = member[head_end + 4 :]
+    try:
+        clen = int(warc_headers.get("content-length", ""))
+        payload = payload[:clen]
+    except ValueError:
+        if payload.endswith(b"\r\n\r\n"):
+            payload = payload[:-4]
+    truncated = len(payload) > max_record_bytes
+    if truncated:
+        payload = payload[:max_record_bytes]
+    ts = None
+    raw_ts = warc_headers.get("warc-date")
+    if raw_ts:
+        import datetime
+
+        try:
+            ts = datetime.datetime.fromisoformat(
+                raw_ts.replace("Z", "+00:00")
+            ).replace(tzinfo=None)
+        except ValueError:
+            ts = None
+    return {
+        "url": url,
+        "warc_ts": ts,
+        "text": payload.decode("utf-8", "replace"),
+        "content_type": warc_headers.get("content-type", "text/plain"),
+        "truncated": truncated,
+    }
+
+
+def read_wet(
+    spark: SparkSession,
+    path: str,
+    max_record_bytes: int = 4 << 20,
+) -> DataFrame:
+    """WET files under `path` -> pages DataFrame in the engine's input
+    shape. `text` carries the record payload and `html` is NULL — the
+    extractor prefers html when present, so a null html column is exactly
+    what routes these rows straight through as pre-extracted text.
+    http_status is null (WET records never saw an HTTP envelope)."""
+    files = spark.read.format("binaryFile").load(path)
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in WARC_PAGE_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for fname, raw in zip(pdf["path"], pdf["content"]):
+                for member in _split_warc_members(bytes(raw)):
+                    rec = parse_wet_record(member, max_record_bytes)
+                    if rec is None:
+                        continue
+                    rows.append(
+                        (
+                            rec["url"], rec["warc_ts"], None, rec["text"],
+                            "", None, rec["content_type"],
+                            rec["truncated"], fname,
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=cols).astype(
+                {"http_status": "Int32"}
+            )
+
+    return files.select("path", "content").mapInPandas(
+        _decode, schema=WARC_PAGE_SCHEMA
+    )
+
+
+def write_wet(records: list[dict], compress: bool = True) -> bytes:
+    """Minimal WET writer (tests + round-trips): each record a
+    `conversion` member. `records`: [{url, date_iso, text(str)}]."""
+    out = bytearray()
+    for r in records:
+        body = r["text"].encode("utf-8")
+        warc = (
+            b"WARC/1.0\r\n"
+            b"WARC-Type: conversion\r\n"
+            + f"WARC-Target-URI: {r['url']}\r\n".encode()
+            + f"WARC-Date: {r['date_iso']}\r\n".encode()
+            + b"Content-Type: text/plain\r\n"
+            + f"Content-Length: {len(body)}\r\n".encode()
+            + b"\r\n"
+        )
+        member = warc + body + b"\r\n\r\n"
+        out += gzip.compress(member) if compress else member
+    return bytes(out)

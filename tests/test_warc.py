@@ -129,3 +129,59 @@ def test_read_warc_to_index_roundtrip(spark, tmp_path):
 
 def _ids(df):
     return [r["doc_id"] for r in df.collect()]
+
+
+WET_RECORDS = [
+    {
+        "url": "https://a.example/page1",
+        "date_iso": "2022-07-01T00:00:00Z",
+        "text": "alpha bravo charlie delta",
+    },
+    {
+        "url": "https://b.example/page2",
+        "date_iso": "2022-07-02T12:30:00Z",
+        "text": "echo foxtrot golf",
+    },
+]
+
+
+@pytest.mark.parametrize("compress", [True, False])
+def test_wet_member_split_and_parse(compress):
+    raw = warc.write_wet(WET_RECORDS, compress=compress)
+    members = list(warc._split_warc_members(raw))
+    assert len(members) == 2
+    recs = [warc.parse_wet_record(m, 1 << 20) for m in members]
+    assert [r["url"] for r in recs] == [r["url"] for r in WET_RECORDS]
+    assert recs[0]["text"] == "alpha bravo charlie delta"
+    assert recs[0]["warc_ts"].year == 2022
+    # a WARC response member is NOT a conversion record
+    resp = warc.write_warc(
+        [{"url": "https://x.example/", "date_iso": "2022-07-01T00:00:00Z",
+          "body": b"<html></html>"}]
+    )
+    assert warc.parse_wet_record(
+        next(warc._split_warc_members(resp)), 1 << 20
+    ) is None
+
+
+def test_read_wet_to_index_roundtrip(spark, tmp_path):
+    """WET files on disk -> read_wet -> build_index -> query: html is NULL
+    so the pre-extracted text routes straight through the extractor."""
+    from share_spark.index.build import IndexConfig, IndexReader, build_index
+    from share_spark.query.wand import wand_topk
+
+    d = tmp_path / "wets"
+    d.mkdir()
+    (d / "seg-00000.warc.wet.gz").write_bytes(warc.write_wet(WET_RECORDS))
+    pages = warc.read_wet(spark, str(d))
+    rows = {r["url"]: r for r in pages.collect()}
+    assert len(rows) == 2
+    r = rows["https://a.example/page1"]
+    assert r["html"] is None and r["http_status"] is None
+    assert r["text"] == "alpha bravo charlie delta"
+
+    idx_dir = str(tmp_path / "idx")
+    build_index(spark, pages, idx_dir, IndexConfig(block_size=8, chunk_docs=8))
+    idx = IndexReader.open(spark, idx_dir)
+    got = wand_topk(idx, "charlie", k=5).collect()
+    assert len(got) == 1
