@@ -221,18 +221,29 @@ def _parse_alternatives(text: str, i: int, depth: int):
         if tok:
             seq.append(tok)
 
+    if depth > 32:
+        raise ValueError("query grouping nested too deeply (max 32 levels)")
     n = len(text)
     while i < n:
         ch = text[i]
         if ch == '"':
-            # consume the whole quoted segment (incl. optional ~N slop)
+            # consume the whole quoted segment (incl. optional ~N slop);
+            # a '-' standing alone immediately before the quote negates
+            # the phrase — keep it attached instead of flushing it as a
+            # detached (and thus meaningless) token
+            joined = "".join(buf)
+            neg = joined.endswith("-") and (
+                len(joined) == 1 or joined[-2].isspace()
+            )
+            if neg:
+                del buf[-1]
             j = text.find('"', i + 1)
             j = n - 1 if j == -1 else j
             end = j + 1
             while end < n and (text[end] == "~" or text[end].isdigit()):
                 end += 1
             flush_buf()
-            seq.append(text[i:end])
+            seq.append(("-" if neg else "") + text[i:end])
             i = end
         elif ch == "(" or (
             ch == "-" and i + 1 < n and text[i + 1] == "("
@@ -277,6 +288,8 @@ def _expand_alts(alts: list) -> list[str]:
                 parts = [f"{p} {unit}" for p in parts]
             elif unit[0] == "g":
                 sub = _expand_alts(unit[1])
+                if not sub:
+                    continue  # empty group '()' is a no-op, not a veto
                 parts = [f"{p} {s}" for p in parts for s in sub]
             else:
                 sub = _expand_alts(unit[1])

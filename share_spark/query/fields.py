@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..index.build import FIELD_SEP, IndexConfig, IndexReader, build_index
-from .bm25 import ParsedQuery, parse_query
+from .bm25 import ParsedQuery, parse_disjunction, parse_query
 
 FIELDMAP = "fieldmap"
 
@@ -145,7 +145,19 @@ class FieldIndex:
         """
         from .wand import wand_topk
 
-        pq = parse_query(query_text, self.reader.analyzer)
+        # parens that reduce to ONE conjunctive branch are fine ('(a b)');
+        # true multi-branch disjunctions would need one WAND pass per
+        # (path, branch) plus a two-level score merge — refuse loudly
+        # instead of mis-parsing '|' and '(' as plain tokens
+        branches = parse_disjunction(query_text, self.reader.analyzer)
+        if len(branches) > 1:
+            raise NotImplementedError(
+                "path-scoped queries support a single conjunctive branch; "
+                "'|' disjunctions are not available with cardSearchText[path]"
+            )
+        pq = branches[0] if branches else parse_query(
+            query_text, self.reader.analyzer
+        )
         if not pq.terms and not pq.const_clauses:
             raise ValueError("query has no positive terms")
         n_keep = offset + k
@@ -194,7 +206,19 @@ class FieldIndex:
         (trovesearch_denorm.py:838-859)."""
         from .wand import match_docs
 
-        pq = parse_query(query_text, self.reader.analyzer)
+        # parens that reduce to ONE conjunctive branch are fine ('(a b)');
+        # true multi-branch disjunctions would need one WAND pass per
+        # (path, branch) plus a two-level score merge — refuse loudly
+        # instead of mis-parsing '|' and '(' as plain tokens
+        branches = parse_disjunction(query_text, self.reader.analyzer)
+        if len(branches) > 1:
+            raise NotImplementedError(
+                "path-scoped queries support a single conjunctive branch; "
+                "'|' disjunctions are not available with cardSearchText[path]"
+            )
+        pq = branches[0] if branches else parse_query(
+            query_text, self.reader.analyzer
+        )
         if not pq.terms and not pq.const_clauses:
             raise ValueError("query has no positive terms")
         fmap = self.fieldmap.filter(F.col("path_key").isin(list(paths)))

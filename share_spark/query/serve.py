@@ -480,7 +480,9 @@ class TopKServer:
         self._dsets[key] = buckets
         return buckets
 
-    def _expand_fuzzy(self, stem: str, dist: int) -> list[str]:
+    def _expand_fuzzy(
+        self, stem: str, dist: int, cap: int | None = 0
+    ) -> list[str]:
         """All index terms within Levenshtein distance `dist` of `stem`
         (field-scoped stems 'path\\x1fterm' measure distance on the term
         part; the namespace must match exactly and prunes each bucket via
@@ -488,11 +490,18 @@ class TopKServer:
         precomputed vocabulary matrices, then the vectorized DP (_lev_dp).
         Same refusal-over-truncation contract as _expand_prefix; the term
         set must equal bm25.expand_fuzzy's for rank identity. Results are
-        LRU-cached per (stem, dist) — callers already hold self._lock."""
+        LRU-cached per (stem, dist) — callers already hold self._lock.
+
+        `cap`: 0 (default) applies max_fuzzy_expansions (the QUERY-path
+        refusal); None expands unbounded — the suggest path wants the full
+        candidate set to rank top-k from, and its output is k rows either
+        way (uncapped results bypass the LRU: they can be vocabulary-band
+        sized)."""
         from ..index.build import FIELD_SEP
 
+        limit = self.max_fuzzy_expansions if cap == 0 else cap
         ckey = (stem, dist)
-        if ckey in self._fuzzy_cache:
+        if limit is not None and ckey in self._fuzzy_cache:
             self._fuzzy_cache.move_to_end(ckey)
             return self._fuzzy_cache[ckey]
 
@@ -521,16 +530,17 @@ class TopKServer:
             final = _lev_dp(mat_sel, core)
             hit = final[:, L - len(ns)] <= dist
             out.extend(terms_sel[hit].tolist())
-            if len(out) > self.max_fuzzy_expansions:
+            if limit is not None and len(out) > limit:
                 raise ValueError(
                     f"fuzzy clause {core!r}~{dist} expands to more than "
-                    f"{self.max_fuzzy_expansions} terms on the serve "
+                    f"{limit} terms on the serve "
                     "tier; narrow it or lower the distance"
                 )
         expansion = sorted(out)
-        self._fuzzy_cache[ckey] = expansion
-        if len(self._fuzzy_cache) > self.max_cached_fuzzy_expansions:
-            self._fuzzy_cache.popitem(last=False)
+        if limit is not None:
+            self._fuzzy_cache[ckey] = expansion
+            if len(self._fuzzy_cache) > self.max_cached_fuzzy_expansions:
+                self._fuzzy_cache.popitem(last=False)
         return expansion
 
     def _read_row_groups(
@@ -705,10 +715,12 @@ class TopKServer:
         distance `max_dist` of `word`, as (term, distance, df) ranked by
         (distance asc, df desc, term asc) — Lucene DirectSpellChecker's
         ordering. Built from the same bucketed-vocabulary expansion the
-        fuzzy query path uses, so suggestions and `word~N` queries see the
-        same dictionary; df is summed across generations. The exact word,
-        if indexed, ranks first at distance 0 (callers typically skip
-        suggesting when that happens)."""
+        fuzzy query path uses — but UNCAPPED: suggest wants the best k of
+        the full candidate set, so it must not inherit the query path's
+        max_fuzzy_expansions refusal (the distributed twin, TakeOrdered
+        over the dictionary, has no cap either). df is summed across
+        generations. The exact word, if indexed, ranks first at distance 0
+        (callers typically skip suggesting when that happens)."""
         from ..analysis import tokenize
 
         toks = tokenize(word, self.analyzer)
@@ -718,7 +730,7 @@ class TopKServer:
             )
         stem = toks[0]
         with self._lock:
-            cands = self._expand_fuzzy(stem, max_dist)
+            cands = self._expand_fuzzy(stem, max_dist, cap=None)
             dfs = self._df_of(cands)
         ranked = sorted(
             ((t, _lev_one(t, stem), dfs[t]) for t in cands),

@@ -50,7 +50,6 @@ def canonical_url_col(url: Column) -> Column:
     host = F.regexp_replace(host, r":(80|443)$", "")
     path = F.regexp_replace(hostpath, r"^[^/]*", "")
     path = F.regexp_replace(path, r"/+$", "")
-    path = F.regexp_replace(path, r"/+$", "")
     params = F.array_sort(
         F.filter(
             F.split(query, "&"),

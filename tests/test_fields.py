@@ -192,16 +192,7 @@ def test_scoped_fuzzy_stays_inside_field(field_index, pages_pdf):
     that path's term namespace and match only docs whose FIELD carries a
     term within distance — mirroring the scoped-prefix semantics."""
 
-    def lev(a, b):
-        prev = list(range(len(b) + 1))
-        for i, ca in enumerate(a, 1):
-            cur = [i]
-            for j, cb in enumerate(b, 1):
-                cur.append(
-                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
-                )
-            prev = cur
-        return prev[-1]
+    from share_spark.query.serve import _lev_one as lev
 
     titles = _title_tokens(pages_pdf)
     want = {
@@ -221,3 +212,17 @@ def test_scoped_fuzzy_stays_inside_field(field_index, pages_pdf):
         ).collect()
     }
     assert got <= got_any and got_any > got
+
+
+def test_scoped_disjunction_refused(field_index):
+    """Review regression: '|' and multi-branch parens must refuse loudly
+    in scoped queries, not silently parse as a conjunction."""
+    import pytest
+
+    with pytest.raises(NotImplementedError, match="single conjunctive"):
+        field_index.scoped_topk("danger | warning", ["title"], k=5)
+    with pytest.raises(NotImplementedError, match="single conjunctive"):
+        field_index.scoped_match_docs("(danger | warning)", ["title"])
+    # single-branch parens remain fine
+    got = field_index.scoped_topk("(w00000)", ["title"], k=5).collect()
+    assert got

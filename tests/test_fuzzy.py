@@ -21,22 +21,15 @@ from share_spark.query.bm25 import (
     expand_fuzzy,
     parse_query,
 )
-from share_spark.query.serve import ShardedTopKServer, TopKServer, _lev_mask
+from share_spark.query.serve import (
+    ShardedTopKServer,
+    TopKServer,
+    _lev_mask,
+    _lev_one as lev,
+)
 from share_spark.query.wand import match_docs, wand_topk
 
 from .frozen_bm25 import FrozenIndex
-
-
-def lev(a: str, b: str) -> int:
-    prev = list(range(len(b) + 1))
-    for i, ca in enumerate(a, 1):
-        cur = [i]
-        for j, cb in enumerate(b, 1):
-            cur.append(
-                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
-            )
-        prev = cur
-    return prev[-1]
 
 
 QUERIES = [
@@ -294,3 +287,17 @@ def test_suggest_exact_word_ranks_first(server, frozen):
     assert out[0][0] == "danger" and out[0][1] == 0
     with pytest.raises(ValueError, match="one analyzable word"):
         server.suggest("two words")
+
+
+def test_suggest_uncapped_on_wide_band(built_index, server):
+    """Review regression: suggest must NOT inherit the query path's
+    expansion refusal — a dense vocabulary band (w00031~2 expands to
+    thousands of wNNNNN terms) still yields the k best suggestions, while
+    the query path keeps refusing."""
+    srv = TopKServer.open(built_index.index_dir)
+    srv.max_fuzzy_expansions = 50
+    out = srv.suggest("w00031", k=5, max_dist=2)
+    assert len(out) == 5 and out[0] == ("w00031", 0, out[0][2])
+    assert all(d <= 2 for _, d, _ in out)
+    with pytest.raises(ValueError, match="expands to more than 50"):
+        srv.topk("w00031~2", k=5)

@@ -165,3 +165,38 @@ def test_grouped_equals_generator_flattened_fuzz(server, frozen, data):
     except ValueError:
         return  # e.g. every branch dead -> both must refuse identically
     assert got == want, (grouped, flat)
+
+
+def test_negated_phrase_survives_grouping():
+    """Review regression: '-\"bad phrase\"' next to a group must stay a
+    NEGATED phrase through the DNF rewrite, not become a required one."""
+    branches = expand_precedence('(a | b) -"bad phrase"')
+    assert [" ".join(b.split()) for b in branches] == [
+        'a -"bad phrase"', 'b -"bad phrase"',
+    ]
+    pq = parse_disjunction('(a | b) -"bad phrase"')[0]
+    assert pq.neg_phrases == (("bad", "phrase"),) and pq.phrases == ()
+    # a '-' glued to a preceding word is NOT a phrase negation
+    assert expand_precedence('x- "keep" (a | b)')[0].split()[:2] == [
+        "x-", '"keep"',
+    ]
+
+
+def test_empty_group_is_noop():
+    """Review regression: 'a ()' must not annihilate the query."""
+    assert [" ".join(b.split()) for b in expand_precedence("a ()")] == ["a"]
+    (pq,) = parse_disjunction("a () b")
+    assert pq.terms == ("a", "b")
+    # a query that is ONLY an empty group still refuses accurately
+    from share_spark.query.bm25 import validate_branches
+
+    with pytest.raises(ValueError, match="no positive terms"):
+        validate_branches(parse_disjunction("()"))
+
+
+def test_nesting_depth_refusal():
+    """Review regression: hostile deep nesting gets the documented
+    ValueError, not a RecursionError."""
+    deep = "(" * 5000 + "a" + ")" * 5000
+    with pytest.raises(ValueError, match="nested too deeply"):
+        expand_precedence(deep)
