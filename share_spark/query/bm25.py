@@ -16,6 +16,10 @@ tests pinned at _common_trovesearch_tests.py:455-474):
 - '(a | b) c' parenthesized precedence (the PRECEDENCE flag): DNF-rewritten
   to the flat `|` form before parsing ('a c | b c'), branch-sum scoring;
   -(a | b) De Morgans to '-a -b', -(a b) is refused (see expand_precedence)
+- the ESCAPE flag ('\\|' etc.) is deliberately NOT implemented: both
+  analyzers strip operator characters from terms, so an escaped operator
+  could never match anything the index stores — documenting the no-op is
+  more honest than parsing it
 - 'dnag~1' fuzzy clauses (the FUZZY flag): required membership in the set
   of index terms within Levenshtein edit distance N of the stem (N<=2, the
   Lucene FuzzyQuery bound; bare 'dnag~' defaults to 2), scored as the same

@@ -705,10 +705,14 @@ def decontaminate(
     eval_texts: DataFrame,
     n: int = 8,
     text_col: str = "text",
+    normalize: bool = False,
 ) -> DataFrame:
     """GPT-3-style eval-set decontamination: flag every document sharing
     at least one word n-gram with a held-out evaluation set (GPT-3 used
     13-grams; `n` is the knob). `eval_texts` must carry (eval_id, text).
+    `normalize=True` lowercases and strips punctuation on BOTH sides
+    before gramming (the GPT-3 paper's normalization — eval sets rarely
+    match a crawl's casing and punctuation byte-for-byte).
 
     Returns (doc_id, n_contaminated_grams, contaminated) over ALL docs.
 
@@ -718,15 +722,15 @@ def decontaminate(
     join is an explicit broadcast — the corpus never shuffles, and the
     per-doc aggregation is partial-aggregated on the gram join's output,
     which is at most (docs x eval grams) hits, in practice a sliver."""
-    doc_grams = ngram_rows(docs, n, text_col)
+    def _norm(df: DataFrame, id_expr) -> DataFrame:
+        t = F.col(text_col)
+        if normalize:
+            t = F.regexp_replace(F.lower(t), r"[^a-z0-9\s]", " ")
+        return df.select(id_expr.alias("doc_id"), t.alias(text_col))
+
+    doc_grams = ngram_rows(_norm(docs, F.col("doc_id")), n, text_col)
     eval_grams = (
-        ngram_rows(
-            eval_texts.select(
-                F.col("eval_id").alias("doc_id"), F.col(text_col)
-            ),
-            n,
-            text_col,
-        )
+        ngram_rows(_norm(eval_texts, F.col("eval_id")), n, text_col)
         .select("ngram")
         .distinct()
     )

@@ -411,3 +411,34 @@ def test_decontaminate(spark):
     assert got[3] == (1, True)     # 'b g d e'
     assert got[4] == (0, False)    # shorter than n -> no grams
     assert len(got) == 5           # every doc gets a row
+
+
+def test_decontaminate_normalized(spark):
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                (0, "Alpha, Beta GAMMA delta!"),
+                (1, "alpha beta gamma delta"),
+                (2, "something else entirely here"),
+            ],
+            columns=["doc_id", "text"],
+        )
+    )
+    evals = spark.createDataFrame(
+        pd.DataFrame([(9, "xx ALPHA beta Gamma DELTA yy")],
+                     columns=["eval_id", "text"])
+    )
+    raw = {
+        r["doc_id"]: r["contaminated"]
+        for r in textops.decontaminate(docs, evals, n=4).collect()
+    }
+    normed = {
+        r["doc_id"]: r["contaminated"]
+        for r in textops.decontaminate(
+            docs, evals, n=4, normalize=True
+        ).collect()
+    }
+    # raw gramming is case/punct-sensitive: only doc 1 shares a raw gram
+    # with... actually none (eval is uppercased) — normalization finds both
+    assert raw == {0: False, 1: False, 2: False}
+    assert normed == {0: True, 1: True, 2: False}
