@@ -2109,9 +2109,9 @@ ORACLES = {
         ),
         hp AS (
           SELECT doc_id,
-                 regexp_replace(regexp_replace(
-                   lower(split_part(hostpath, '/', 1)), '^www\.', ''),
-                   ':(80|443)$', '') AS host,
+                 regexp_replace(regexp_replace(regexp_replace(
+                   lower(split_part(hostpath, '/', 1)), '^[^@]*@', ''),
+                   '^www\.', ''), ':(80|443)$', '') AS host,
                  regexp_replace(regexp_replace(hostpath, '^[^/]*', ''),
                                 '/+$', '') AS path,
                  list_sort(list_filter(string_split(q, '&'),

@@ -13,7 +13,9 @@ a string/array builtin with an exact DuckDB twin for oracle checking):
 1. trim surrounding whitespace
 2. drop the scheme, case-insensitively (http == https for page identity)
 3. drop the #fragment
-4. host: lowercase, strip one leading 'www.', strip ':80'/':443'
+4. authority: drop userinfo ('user:pass@' — credentials must never reach
+   a dedup key); host: lowercase, strip one leading 'www.', strip
+   ':80'/':443' (non-default ports are identity-relevant and stay)
 5. path: strip trailing '/' runs (path case is PRESERVED — many origins
    serve case-sensitive paths)
 6. query: drop tracking params (utm_*, fbclid, gclid, ref), sort the
@@ -46,6 +48,7 @@ def canonical_url_col(url: Column) -> Column:
         F.instr(s, "?") > 0, F.regexp_replace(s, r"^[^?]*\?", "")
     ).otherwise(F.lit(""))
     host = F.lower(F.split_part(hostpath, F.lit("/"), F.lit(1)))
+    host = F.regexp_replace(host, r"^[^@]*@", "")
     host = F.regexp_replace(host, r"^www\.", "")
     host = F.regexp_replace(host, r":(80|443)$", "")
     path = F.regexp_replace(hostpath, r"^[^/]*", "")
