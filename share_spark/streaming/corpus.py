@@ -1,0 +1,152 @@
+"""Incremental corpus hygiene: streaming ingest with cross-batch dedup.
+
+The batch pipeline (share_spark/pipeline.py) dedups WITHIN its input; a
+crawl arrives as a stream of segments, and a page seen in segment 1 must
+still be dropped when segment 40 re-crawls it. This module keeps a
+persistent SEEN-KEYS store (plain parquet, append-only, partitioned by
+key prefix) holding the canonical-url and content-fingerprint keys of
+every document ever admitted, and each micro-batch:
+
+  1. dedups within itself (same rules as the batch pipeline),
+  2. anti-joins the survivors against the seen store (cross-batch dedup),
+  3. appends the admitted docs to the output corpus directory and their
+     keys to the seen store — keys FIRST, so a crash between the two
+     writes re-drops (never re-admits) the batch on replay: at-least-once
+     delivery degrades to exactly-once OUTPUT for dedup keys, the same
+     crash-ordering argument as the index's tombstone-before-manifest
+     commit (streaming/incremental.py).
+
+Scale shape: the seen store is (key, kind) pairs — bytes per admitted
+document, not document bytes — and the per-batch anti-join is key-hashed;
+at 10^10 admitted docs the store is ~TB-scale parquet, which is exactly
+what a key-hash-bucketed layout + AQE handle (a production deployment
+would bucket it; plain parquet keeps the sandbox honest). Nothing
+corpus-sized reaches the driver.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import textops, urltools
+
+SEEN_SCHEMA_COLS = ["key", "kind"]
+
+
+def _seen(spark: SparkSession, seen_dir: str) -> DataFrame | None:
+    if not os.path.isdir(seen_dir) or not any(
+        f.endswith(".parquet") for f in os.listdir(seen_dir)
+    ):
+        return None
+    return spark.read.parquet(seen_dir)
+
+
+def admit_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    corpus_dir: str,
+    seen_dir: str,
+) -> DataFrame:
+    """Dedup `batch` (doc_id, text, optionally url) within itself AND
+    against the persistent seen store, then append the admitted docs to
+    `corpus_dir` and their keys to `seen_dir`. Returns the admitted
+    DataFrame (already written).
+
+    Idempotence: keys are written BEFORE documents, so a replayed batch
+    whose first run crashed mid-write can only under-admit (safe for a
+    dedup pipeline) — and because a replay re-derives the same
+    deterministic keys, its anti-join drops everything already keyed."""
+    keyed = batch.withColumn(
+        "_fp", F.md5(F.col("text"))
+    )
+    if "url" in batch.columns:
+        keyed = keyed.withColumn(
+            "_urlkey", urltools.canonical_url_col(F.col("url"))
+        )
+    else:
+        keyed = keyed.withColumn("_urlkey", F.lit(None).cast("string"))
+
+    # within-batch: first doc_id wins per url key, then per fingerprint;
+    # docs with a NULL url pass the url stage untouched (no key to clash)
+    if "url" in batch.columns:
+        w_url = (
+            keyed.where(F.col("_urlkey").isNotNull())
+            .groupBy("_urlkey")
+            .agg(F.min("doc_id").alias("doc_id"))
+            .select("doc_id")
+            .unionByName(
+                keyed.where(F.col("_urlkey").isNull()).select("doc_id")
+            )
+        )
+        keyed = keyed.join(w_url, "doc_id", "left_semi")
+    w_fp = keyed.groupBy("_fp").agg(F.min("doc_id").alias("doc_id"))
+    keyed = keyed.join(w_fp.select("doc_id"), "doc_id", "left_semi")
+
+    # cross-batch: drop anything whose url key OR fingerprint was admitted
+    seen = _seen(spark, seen_dir)
+    if seen is not None:
+        keyed = keyed.join(
+            seen.where(F.col("kind") == "fp").select(
+                F.col("key").alias("_fp")
+            ),
+            "_fp",
+            "left_anti",
+        )
+        keyed = keyed.join(
+            seen.where(F.col("kind") == "url").select(
+                F.col("key").alias("_urlkey")
+            ),
+            "_urlkey",
+            "left_anti",
+        )
+
+    # materialize and TRUNCATE LINEAGE before touching the seen store: the
+    # admitted plan anti-joins seen_dir, so a lazy re-execution after the
+    # key append below would read its own keys back and erase itself
+    admitted = keyed.localCheckpoint()
+    new_keys = admitted.select(
+        F.col("_fp").alias("key"), F.lit("fp").alias("kind")
+    ).unionByName(
+        admitted.where(F.col("_urlkey").isNotNull()).select(
+            F.col("_urlkey").alias("key"), F.lit("url").alias("kind")
+        )
+    )
+    # keys first (see module doc), then the documents
+    new_keys.write.mode("append").parquet(seen_dir)
+    out = admitted.drop("_fp", "_urlkey")
+    out.write.mode("append").parquet(corpus_dir)
+    return out
+
+
+def watch_corpus(
+    spark: SparkSession,
+    pages_stream_dir: str,
+    corpus_dir: str,
+    seen_dir: str,
+    checkpoint_dir: str,
+    schema,
+    max_files_per_trigger: int | None = None,
+):
+    """Structured Streaming wiring: file-source micro-batches of raw pages
+    -> deduped, append-only corpus. Returns the StreamingQuery; caller
+    owns awaitTermination/stop. Same foreachBatch shape as the index's
+    watch_incremental — a deployment runs both sinks off one source."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(pages_stream_dir)
+
+    def _on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        admit_batch(spark, batch_df, corpus_dir, seen_dir)
+
+    return (
+        stream.writeStream.foreachBatch(_on_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
