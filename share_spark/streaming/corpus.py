@@ -49,11 +49,25 @@ def admit_batch(
     batch: DataFrame,
     corpus_dir: str,
     seen_dir: str,
+    near_dedup: bool = False,
+    n_perm: int = 16,
+    band_size: int = 4,
 ) -> DataFrame:
     """Dedup `batch` (doc_id, text, optionally url) within itself AND
     against the persistent seen store, then append the admitted docs to
     `corpus_dir` and their keys to `seen_dir`. Returns the admitted
     DataFrame (already written).
+
+    `near_dedup=True` additionally drops NEAR-duplicates via persisted
+    MinHash band keys: a doc is dropped when any of its LSH bands collides
+    with an earlier doc's (earlier in this batch by doc_id, or any doc
+    ever admitted). This is banded LSH WITHOUT the exact-Jaccard verify —
+    the standard incremental-dedup tradeoff (verify would need the
+    historical documents' shingles, i.e. corpus-sized state): a band
+    collision between genuinely dissimilar docs falsely drops one, at a
+    rate driven by band_size (raise it for fewer false drops, lower
+    recall). Batch pipelines wanting the exact guarantee run
+    pipeline.build_training_corpus over the admitted corpus instead.
 
     Idempotence: keys are written BEFORE documents, so a replayed batch
     whose first run crashed mid-write can only under-admit (safe for a
@@ -85,6 +99,22 @@ def admit_batch(
     w_fp = keyed.groupBy("_fp").agg(F.min("doc_id").alias("doc_id"))
     keyed = keyed.join(w_fp.select("doc_id"), "doc_id", "left_semi")
 
+    if near_dedup:
+        # within-batch: first doc (min doc_id) per LSH bucket wins; any
+        # later doc sharing >=1 bucket is dropped (chain-aggressive by
+        # design — see the docstring tradeoff note)
+        bands = textops.minhash_band_rows(keyed, n_perm, band_size)
+        bucket_min = bands.groupBy("band", "band_key").agg(
+            F.min("doc_id").alias("_min")
+        )
+        offenders = (
+            bands.join(bucket_min, ["band", "band_key"])
+            .where(F.col("doc_id") != F.col("_min"))
+            .select("doc_id")
+            .distinct()
+        )
+        keyed = keyed.join(offenders, "doc_id", "left_anti")
+
     # cross-batch: drop anything whose url key OR fingerprint was admitted
     seen = _seen(spark, seen_dir)
     if seen is not None:
@@ -102,6 +132,27 @@ def admit_batch(
             "_urlkey",
             "left_anti",
         )
+        if near_dedup:
+            batch_bk = textops.minhash_band_rows(
+                keyed, n_perm, band_size
+            ).select(
+                "doc_id",
+                F.concat_ws(":", F.col("band"), F.col("band_key")).alias(
+                    "_bk"
+                ),
+            )
+            hit = (
+                batch_bk.join(
+                    seen.where(F.col("kind") == "mh").select(
+                        F.col("key").alias("_bk")
+                    ),
+                    "_bk",
+                    "left_semi",
+                )
+                .select("doc_id")
+                .distinct()
+            )
+            keyed = keyed.join(hit, "doc_id", "left_anti")
 
     # materialize and TRUNCATE LINEAGE before touching the seen store: the
     # admitted plan anti-joins seen_dir, so a lazy re-execution after the
@@ -114,6 +165,15 @@ def admit_batch(
             F.col("_urlkey").alias("key"), F.lit("url").alias("kind")
         )
     )
+    if near_dedup:
+        new_keys = new_keys.unionByName(
+            textops.minhash_band_rows(admitted, n_perm, band_size).select(
+                F.concat_ws(":", F.col("band"), F.col("band_key")).alias(
+                    "key"
+                ),
+                F.lit("mh").alias("kind"),
+            )
+        )
     # keys first (see module doc), then the documents
     new_keys.write.mode("append").parquet(seen_dir)
     out = admitted.drop("_fp", "_urlkey")
@@ -129,6 +189,7 @@ def watch_corpus(
     checkpoint_dir: str,
     schema,
     max_files_per_trigger: int | None = None,
+    near_dedup: bool = False,
 ):
     """Structured Streaming wiring: file-source micro-batches of raw pages
     -> deduped, append-only corpus. Returns the StreamingQuery; caller
@@ -142,7 +203,9 @@ def watch_corpus(
     def _on_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        admit_batch(spark, batch_df, corpus_dir, seen_dir)
+        admit_batch(
+            spark, batch_df, corpus_dir, seen_dir, near_dedup=near_dedup
+        )
 
     return (
         stream.writeStream.foreachBatch(_on_batch)

@@ -225,6 +225,36 @@ def minhash_signatures(
     )
 
 
+def minhash_band_rows(
+    docs: DataFrame,
+    n_perm: int = 16,
+    band_size: int = 4,
+    text_col: str = "text",
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """(doc_id, band, band_key) LSH band rows — the bucketing half of the
+    MinHash dedup plan, exposed separately so incremental pipelines can
+    persist band keys and anti-join new batches against history
+    (streaming/corpus.py) instead of re-pairing the full corpus."""
+    sig = minhash_signatures_wide(docs, n_perm, text_col, hash_fn=hash_fn)
+    n_bands = n_perm // band_size
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                ",",
+                *[
+                    F.col(f"mh{b * band_size + i}").cast("string")
+                    for i in range(band_size)
+                ],
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return sig.select(
+        "doc_id", F.posexplode(band_keys).alias("band", "band_key")
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     n_perm: int = 16,
@@ -240,22 +270,8 @@ def minhash_lsh_pairs(
     exact Jaccard on the candidate set (jaccard_verify) when a threshold
     guarantee is needed.
     """
-    sig = minhash_signatures_wide(docs, n_perm, text_col, hash_fn=hash_fn)
-    n_bands = n_perm // band_size
-    band_keys = F.array(
-        *[
-            F.concat_ws(
-                ",",
-                *[
-                    F.col(f"mh{b * band_size + i}").cast("string")
-                    for i in range(band_size)
-                ],
-            )
-            for b in range(n_bands)
-        ]
-    )
-    banded = sig.select(
-        "doc_id", F.posexplode(band_keys).alias("band", "band_key")
+    banded = minhash_band_rows(
+        docs, n_perm, band_size, text_col, hash_fn=hash_fn
     )
     a = banded.alias("a")
     b = banded.alias("b")

@@ -80,3 +80,30 @@ def test_watch_corpus_stream(spark, tmp_path):
     q.awaitTermination(120)
     got = {r["doc_id"] for r in spark.read.parquet(corpus_dir).collect()}
     assert got == {0, 1, 11}
+
+
+def test_admit_batch_near_dedup(spark, tmp_path):
+    corpus_dir = str(tmp_path / "corpus_nd")
+    seen_dir = str(tmp_path / "seen_nd")
+    base = ("the quick brown fox jumps over the lazy dog while rain "
+            "falls on the quiet hillside near the old mill")
+    b1 = _df(spark, [
+        (0, base, "https://a.example/0"),
+        (1, base.replace("rain", "snow"), "https://a.example/1"),  # near-dup of 0
+        (2, "completely different words appear in this other document "
+            "about engines and storage formats tonight", "https://a.example/2"),
+    ])
+    out1 = sc.admit_batch(spark, b1, corpus_dir, seen_dir, near_dedup=True)
+    assert {r["doc_id"] for r in out1.collect()} == {0, 2}
+
+    b2 = _df(spark, [
+        # near-dup of doc 0 from batch 1 (one word changed) -> dropped
+        (10, base.replace("dog", "cat"), "https://b.example/10"),
+        # fresh text -> admitted
+        (11, "fresh vocabulary entirely here covering crawl politeness "
+             "and parsing markup into readable content", "https://b.example/11"),
+    ])
+    out2 = sc.admit_batch(spark, b2, corpus_dir, seen_dir, near_dedup=True)
+    assert {r["doc_id"] for r in out2.collect()} == {11}
+    got = {r["doc_id"] for r in spark.read.parquet(corpus_dir).collect()}
+    assert got == {0, 2, 11}
