@@ -17,11 +17,15 @@ every document ever admitted, and each micro-batch:
      commit (streaming/incremental.py).
 
 Scale shape: the seen store is (key, kind) pairs — bytes per admitted
-document, not document bytes — and the per-batch anti-join is key-hashed;
-at 10^10 admitted docs the store is ~TB-scale parquet, which is exactly
-what a key-hash-bucketed layout + AQE handle (a production deployment
-would bucket it; plain parquet keeps the sandbox honest). Nothing
-corpus-sized reaches the driver.
+document, not document bytes. The honest cost at 10^10 admitted docs is
+the per-batch anti-join against that ~TB store: Spark cannot broadcast
+the preserved side of a left_anti, so the HISTORY side shuffles each
+batch unless the store is key-bucketed (bucketBy on `key` makes the
+anti-join a co-located per-bucket merge — the production layout; plain
+append parquet keeps this sandbox honest) or fronted by a Bloom sidecar
+that pre-drops the non-colliding majority of the batch before the exact
+join. Batch sizing amortizes the rest: the join cost is per BATCH, not
+per document. Nothing corpus-sized reaches the driver.
 """
 
 from __future__ import annotations
