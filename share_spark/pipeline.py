@@ -38,7 +38,10 @@ from . import graph, textops, urltools
 @dataclass(frozen=True)
 class PipelineConfig:
     lang: str | None = "en"          # langid gate (None = keep all)
-    min_tokens: int = 10             # quality gate floors/ceilings
+    min_tokens: int = 10             # quality gate floor (THE floor —
+                                     # not ANDed with a hidden default)
+    min_mean_token_len: float = 2.0  # quality gate mean-length band
+    max_mean_token_len: float = 12.0
     max_dup_line_frac: float = 0.3   # Gopher A1.1 repetition gates
     max_top_bigram_frac: float = 0.2
     jaccard_threshold: float = 0.5   # near-dup verify bar
@@ -53,7 +56,6 @@ class PipelineConfig:
 
 
 def build_training_corpus(
-    spark,
     docs: DataFrame,
     cfg: PipelineConfig = PipelineConfig(),
     eval_texts: DataFrame | None = None,
@@ -76,19 +78,28 @@ def build_training_corpus(
     cur = checkpoint("input", docs)
 
     # 1. url-keyed dedup (cheapest, highest-yield — crawl snapshots carry
-    #    scheme/slash/tracking variants of the same page)
+    #    scheme/slash/tracking variants of the same page). Reuses the
+    #    url_duplicates contract: NULL/empty urls have no key and pass
+    #    through; only non-keeper members of a >1 group drop.
     if "url" in cur.columns:
-        canon = urltools.canonicalize_urls(cur, "url")
-        keep = canon.groupBy("url_canonical").agg(
-            F.min("doc_id").alias("doc_id")
+        groups = urltools.url_duplicates(cur, "url")
+        losers = (
+            urltools.canonicalize_urls(cur, "url")
+            .join(groups, "url_canonical")
+            .filter(F.col("doc_id") != F.col("keep_doc_id"))
+            .select("doc_id")
         )
-        cur = checkpoint(
-            "url_dedup", cur.join(keep.select("doc_id"), "doc_id", "left_semi")
-        )
+        cur = checkpoint("url_dedup", cur.join(losers, "doc_id", "left_anti"))
 
-    # 2. quality gate (row-local, before anything that shuffles)
+    # 2. quality gate (row-local, before anything that shuffles) — built
+    #    from the raw metrics so every threshold is cfg-driven (the
+    #    operator's own `keep` flag hardcodes n_tokens >= 10, which would
+    #    silently override a lower cfg.min_tokens)
     q = textops.text_quality(cur).filter(
-        F.col("keep") & (F.col("n_tokens") >= cfg.min_tokens)
+        (F.col("n_tokens") >= cfg.min_tokens)
+        & F.col("mean_token_len").between(
+            cfg.min_mean_token_len, cfg.max_mean_token_len
+        )
     )
     cur = checkpoint(
         "quality", cur.join(q.select("doc_id"), "doc_id", "left_semi")
@@ -104,9 +115,11 @@ def build_training_corpus(
     # 4. exact dedup: drop every member of a byte-identical group except
     #    its min doc_id
     groups = textops.exact_duplicates(cur)
+    # no broadcast hint: on a dup-heavy crawl the group table is
+    # corpus-proportional — let AQE pick the strategy
     losers = (
         textops.with_fingerprint(cur)
-        .join(F.broadcast(groups), "fingerprint")
+        .join(groups, "fingerprint")
         .filter(F.col("doc_id") != F.col("keep_doc_id"))
         .select("doc_id")
     )

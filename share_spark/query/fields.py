@@ -39,6 +39,23 @@ from .bm25 import ParsedQuery, parse_disjunction, parse_query
 FIELDMAP = "fieldmap"
 
 
+def _parse_scoped(query_text: str, analyzer: str) -> ParsedQuery:
+    """Parse a path-scoped query: parens that reduce to ONE conjunctive
+    branch are fine ('(a b)'); true multi-branch disjunctions would need
+    one WAND pass per (path, branch) plus a two-level score merge — refuse
+    loudly instead of mis-parsing '|' and '(' as plain tokens."""
+    branches = parse_disjunction(query_text, analyzer)
+    if len(branches) > 1:
+        raise NotImplementedError(
+            "path-scoped queries support a single conjunctive branch; "
+            "'|' disjunctions are not available with cardSearchText[path]"
+        )
+    pq = branches[0] if branches else parse_query(query_text, analyzer)
+    if not pq.terms and not pq.const_clauses:
+        raise ValueError("query has no positive terms")
+    return pq
+
+
 def _prefixed(pq: ParsedQuery, path: str) -> ParsedQuery:
     p = lambda t: f"{path}{FIELD_SEP}{t}"  # noqa: E731
     return ParsedQuery(
@@ -145,21 +162,7 @@ class FieldIndex:
         """
         from .wand import wand_topk
 
-        # parens that reduce to ONE conjunctive branch are fine ('(a b)');
-        # true multi-branch disjunctions would need one WAND pass per
-        # (path, branch) plus a two-level score merge — refuse loudly
-        # instead of mis-parsing '|' and '(' as plain tokens
-        branches = parse_disjunction(query_text, self.reader.analyzer)
-        if len(branches) > 1:
-            raise NotImplementedError(
-                "path-scoped queries support a single conjunctive branch; "
-                "'|' disjunctions are not available with cardSearchText[path]"
-            )
-        pq = branches[0] if branches else parse_query(
-            query_text, self.reader.analyzer
-        )
-        if not pq.terms and not pq.const_clauses:
-            raise ValueError("query has no positive terms")
+        pq = _parse_scoped(query_text, self.reader.analyzer)
         n_keep = offset + k
         fmap = self.fieldmap.filter(F.col("path_key").isin(list(paths)))
         frow_filter = None
@@ -206,21 +209,7 @@ class FieldIndex:
         (trovesearch_denorm.py:838-859)."""
         from .wand import match_docs
 
-        # parens that reduce to ONE conjunctive branch are fine ('(a b)');
-        # true multi-branch disjunctions would need one WAND pass per
-        # (path, branch) plus a two-level score merge — refuse loudly
-        # instead of mis-parsing '|' and '(' as plain tokens
-        branches = parse_disjunction(query_text, self.reader.analyzer)
-        if len(branches) > 1:
-            raise NotImplementedError(
-                "path-scoped queries support a single conjunctive branch; "
-                "'|' disjunctions are not available with cardSearchText[path]"
-            )
-        pq = branches[0] if branches else parse_query(
-            query_text, self.reader.analyzer
-        )
-        if not pq.terms and not pq.const_clauses:
-            raise ValueError("query has no positive terms")
+        pq = _parse_scoped(query_text, self.reader.analyzer)
         fmap = self.fieldmap.filter(F.col("path_key").isin(list(paths)))
         frow_filter = None
         if filter_docs is not None:

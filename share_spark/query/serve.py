@@ -501,7 +501,10 @@ class TopKServer:
 
         limit = self.max_fuzzy_expansions if cap == 0 else cap
         ckey = (stem, dist)
-        if limit is not None and ckey in self._fuzzy_cache:
+        # cache READ is always valid — a stored entry is the COMPLETE
+        # expansion (the limit refuses, never truncates); only the store
+        # below is skipped for uncapped results (vocabulary-band sized)
+        if ckey in self._fuzzy_cache:
             self._fuzzy_cache.move_to_end(ckey)
             return self._fuzzy_cache[ckey]
 

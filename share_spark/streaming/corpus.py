@@ -30,8 +30,6 @@ per document. Nothing corpus-sized reaches the driver.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -41,11 +39,16 @@ SEEN_SCHEMA_COLS = ["key", "kind"]
 
 
 def _seen(spark: SparkSession, seen_dir: str) -> DataFrame | None:
-    if not os.path.isdir(seen_dir) or not any(
-        f.endswith(".parquet") for f in os.listdir(seen_dir)
-    ):
+    """Read the seen store, or None before the first batch. Probed via the
+    Spark reader, NOT os.path — the store lives on whatever filesystem the
+    session writes to (hdfs://, s3a://, ...), where a local-path check
+    would always be False and silently disable cross-batch dedup."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(seen_dir)
+    except AnalysisException:
         return None
-    return spark.read.parquet(seen_dir)
 
 
 def admit_batch(
@@ -77,8 +80,14 @@ def admit_batch(
     whose first run crashed mid-write can only under-admit (safe for a
     dedup pipeline) — and because a replay re-derives the same
     deterministic keys, its anti-join drops everything already keyed."""
+    # coalesce NULL text to '' for the fingerprint: a NULL md5 key would
+    # (a) collapse DISTINCT null-text docs within a batch via the groupBy
+    # and (b) never match in the anti-join, so a crash replay would
+    # re-admit the doc — breaking the idempotence contract. With the
+    # coalesce, contentless docs dedup against each other (first one
+    # wins), which is the correct reading of "same content".
     keyed = batch.withColumn(
-        "_fp", F.md5(F.col("text"))
+        "_fp", F.md5(F.coalesce(F.col("text"), F.lit("")))
     )
     if "url" in batch.columns:
         keyed = keyed.withColumn(
@@ -103,11 +112,18 @@ def admit_batch(
     w_fp = keyed.groupBy("_fp").agg(F.min("doc_id").alias("doc_id"))
     keyed = keyed.join(w_fp.select("doc_id"), "doc_id", "left_semi")
 
+    bands = None
     if near_dedup:
+        # band rows computed ONCE and lineage-truncated: they feed three
+        # consumers (within-batch offenders, cross-batch hits, new keys),
+        # and without the checkpoint each action would re-shingle and
+        # re-minhash the batch — the dominant per-batch compute
+        bands = textops.minhash_band_rows(
+            keyed, n_perm, band_size
+        ).localCheckpoint()
         # within-batch: first doc (min doc_id) per LSH bucket wins; any
         # later doc sharing >=1 bucket is dropped (chain-aggressive by
         # design — see the docstring tradeoff note)
-        bands = textops.minhash_band_rows(keyed, n_perm, band_size)
         bucket_min = bands.groupBy("band", "band_key").agg(
             F.min("doc_id").alias("_min")
         )
@@ -137,9 +153,7 @@ def admit_batch(
             "left_anti",
         )
         if near_dedup:
-            batch_bk = textops.minhash_band_rows(
-                keyed, n_perm, band_size
-            ).select(
+            batch_bk = bands.select(
                 "doc_id",
                 F.concat_ws(":", F.col("band"), F.col("band_key")).alias(
                     "_bk"
@@ -171,7 +185,8 @@ def admit_batch(
     )
     if near_dedup:
         new_keys = new_keys.unionByName(
-            textops.minhash_band_rows(admitted, n_perm, band_size).select(
+            bands.join(admitted.select("doc_id"), "doc_id", "left_semi")
+            .select(
                 F.concat_ws(":", F.col("band"), F.col("band_key")).alias(
                     "key"
                 ),

@@ -96,8 +96,13 @@ def canonicalize_urls(docs: DataFrame, url_col: str = "url") -> DataFrame:
 def url_duplicates(docs: DataFrame, url_col: str = "url") -> DataFrame:
     """Url-keyed dedup groups: one row per canonical url with >1 doc,
     (url_canonical, group_size, keep_doc_id) — min doc_id wins, the same
-    deterministic contract as textops.exact_duplicates."""
-    canon = canonicalize_urls(docs, url_col)
+    deterministic contract as textops.exact_duplicates. Docs with a NULL
+    or empty url have no key and can never be url-duplicates of each
+    other — they are excluded from grouping (NOT collapsed into one
+    mass-drop group)."""
+    canon = canonicalize_urls(docs, url_col).where(
+        F.col("url_canonical").isNotNull() & (F.col("url_canonical") != "")
+    )
     return (
         canon.groupBy("url_canonical")
         .agg(

@@ -62,7 +62,7 @@ def evals(spark):
 def test_each_stage_drops_its_doc(spark, corpus, evals):
     cfg = PipelineConfig(budget_tokens=30)
     out, stats = build_training_corpus(
-        spark, corpus, cfg, eval_texts=evals, audit=True
+        corpus, cfg, eval_texts=evals, audit=True
     )
     rows = {r["doc_id"]: r for r in out.collect()}
     assert set(rows) == {0, 1}
@@ -88,14 +88,14 @@ def test_sampling_is_deterministic(spark, corpus):
         lang=None, min_tokens=1, max_dup_line_frac=1.0,
         max_top_bigram_frac=1.0, sample_rates={"web": 0.5}, seed=7,
     )
-    out1, _ = build_training_corpus(spark, corpus, cfg)
-    out2, _ = build_training_corpus(spark, corpus, cfg)
+    out1, _ = build_training_corpus(corpus, cfg)
+    out2, _ = build_training_corpus(corpus, cfg)
     ids1 = sorted(r["doc_id"] for r in out1.collect())
     ids2 = sorted(r["doc_id"] for r in out2.collect())
     assert ids1 == ids2  # pure function of (doc_id, seed)
     # a different seed reshuffles membership
     out3, _ = build_training_corpus(
-        spark, corpus,
+        corpus,
         PipelineConfig(
             lang=None, min_tokens=1, max_dup_line_frac=1.0,
             max_top_bigram_frac=1.0, sample_rates={"web": 0.5}, seed=8,
@@ -114,7 +114,7 @@ def test_pii_scrubbed_in_output(spark):
         )
     )
     cfg = PipelineConfig(lang=None)
-    out, _ = build_training_corpus(spark, docs, cfg)
+    out, _ = build_training_corpus(docs, cfg)
     (row,) = out.collect()
     assert "<EMAIL>" in row["text_scrubbed"]
     assert "admin@example.com" not in row["text_scrubbed"]
