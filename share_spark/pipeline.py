@@ -67,7 +67,9 @@ def build_training_corpus(
     Returns (corpus, stats): `corpus` is the packed training corpus
     (doc_id, text_scrubbed, n_tokens, pack_id, pack_offset), lazily
     composed; `stats` maps stage -> surviving doc count when `audit=True`
-    (empty dict otherwise — counting forces a job per stage)."""
+    (empty dict otherwise — counting forces a job per stage). To emit
+    physical one-row-per-pack training shards from the assignments, feed
+    the result through textops.materialize_packs."""
     stats: dict = {}
 
     def checkpoint(name: str, df: DataFrame) -> DataFrame:

@@ -768,3 +768,44 @@ def decontaminate(
             ),
         )
     )
+
+
+def materialize_packs(
+    packed: DataFrame, docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Turn pack ASSIGNMENTS (pack_documents output: doc_id, n_tokens,
+    pack_id, pack_offset) into physical training shards: one row per pack
+    with the member texts in tape order plus boundary metadata —
+    (pack_id, doc_ids, boundaries, texts, total_tokens).
+
+    `boundaries[i]` is the token offset of doc i WITHIN the pack (first is
+    0 by construction; a downstream tokenizer uses these to place document
+    separators / reset attention masks).
+
+    Scale shape: one groupBy(pack_id) whose values are whole documents —
+    the only corpus-sized shuffle, keyed uniformly (pack ids are dense
+    sequential), with each group bounded by the token budget + one
+    boundary-straddling document. array_sort on struct(pack_offset, ...)
+    keeps tape order deterministic without a window."""
+    rows = packed.join(docs.select("doc_id", text_col), "doc_id")
+    agg = rows.groupBy("pack_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct("pack_offset", "doc_id", "n_tokens", text_col)
+            )
+        ).alias("_m")
+    )
+    first_off = F.col("_m")[0]["pack_offset"]
+    return agg.select(
+        "pack_id",
+        F.transform(F.col("_m"), lambda m: m["doc_id"]).alias("doc_ids"),
+        F.transform(
+            F.col("_m"), lambda m: m["pack_offset"] - first_off
+        ).alias("boundaries"),
+        F.transform(F.col("_m"), lambda m: m[text_col]).alias("texts"),
+        F.aggregate(
+            F.col("_m"),
+            F.lit(0).cast("long"),
+            lambda acc, m: acc + m["n_tokens"],
+        ).alias("total_tokens"),
+    )

@@ -442,3 +442,27 @@ def test_decontaminate_normalized(spark):
     # with... actually none (eval is uppercased) — normalization finds both
     assert raw == {0: False, 1: False, 2: False}
     assert normed == {0: True, 1: True, 2: False}
+
+
+def test_materialize_packs(spark):
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            [(i, " ".join(["tok"] * n)) for i, n in
+             enumerate([4, 3, 5, 2, 6])],
+            columns=["doc_id", "text"],
+        )
+    )
+    packed = textops.pack_documents(docs, budget_tokens=8)
+    shards = {
+        r["pack_id"]: r
+        for r in textops.materialize_packs(packed, docs).collect()
+    }
+    # tape: doc0@0 doc1@4 doc2@7 doc3@12 doc4@14 -> packs 0,0,0,1,1
+    assert sorted(shards) == [0, 1]
+    p0, p1 = shards[0], shards[1]
+    assert p0["doc_ids"] == [0, 1, 2] and p0["boundaries"] == [0, 4, 7]
+    assert p0["total_tokens"] == 12
+    assert p1["doc_ids"] == [3, 4] and p1["boundaries"] == [0, 2]
+    assert p1["total_tokens"] == 8
+    # texts align with member docs in tape order
+    assert p1["texts"] == ["tok tok", " ".join(["tok"] * 6)]
