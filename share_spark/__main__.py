@@ -73,6 +73,44 @@ def _cmd_build(args: argparse.Namespace) -> dict:
     }
 
 
+def _cmd_corpus(args: argparse.Namespace) -> dict:
+    from pyspark.sql import functions as F
+
+    from .pipeline import PipelineConfig, build_training_corpus
+    from .textops import materialize_packs
+
+    spark = _get_spark("share_spark_corpus")
+    if args.wet:
+        from .warc import read_wet
+
+        pages = read_wet(spark, args.pages)
+        docs = pages.select(
+            F.xxhash64("url").alias("doc_id"), "url", "text"
+        )
+    else:
+        docs = spark.read.parquet(args.pages)
+    evals = (
+        spark.read.parquet(args.eval_texts) if args.eval_texts else None
+    )
+    cfg = PipelineConfig(
+        lang=args.lang or None,
+        budget_tokens=args.budget_tokens,
+        jaccard_ngram=args.jaccard_ngram,
+    )
+    corpus, stats = build_training_corpus(
+        docs, cfg, eval_texts=evals, audit=args.audit
+    )
+    if args.packs_dir:
+        shards = materialize_packs(
+            corpus.select("doc_id", "pack_id", "pack_offset", "n_tokens"),
+            corpus.select("doc_id", F.col("text_scrubbed").alias("text")),
+        )
+        shards.write.mode("overwrite").parquet(args.packs_dir)
+    corpus.write.mode("overwrite").parquet(args.out)
+    n = spark.read.parquet(args.out).count()
+    return {"cmd": "corpus", "out": args.out, "n_docs": n, "stats": stats}
+
+
 def _cmd_ingest(args: argparse.Namespace) -> dict:
     from .streaming.incremental import apply_incremental
 
@@ -169,6 +207,26 @@ def main(argv: list[str] | None = None) -> int:
                    help="skip stages with a done-marker (crash recovery)")
     b.add_argument("--no-serve-layout", action="store_true")
     b.set_defaults(fn=_cmd_build)
+
+    co = sub.add_parser(
+        "corpus", help="training-corpus hygiene pipeline over raw pages"
+    )
+    co.add_argument("--pages", required=True,
+                    help="input parquet (doc_id,text[,url,source]) or a "
+                         "WET dir with --wet")
+    co.add_argument("--wet", action="store_true")
+    co.add_argument("--out", required=True, help="output corpus parquet dir")
+    co.add_argument("--packs-dir", default=None,
+                    help="also write one-row-per-pack training shards here")
+    co.add_argument("--eval-texts", default=None,
+                    help="parquet of (eval_id,text) to decontaminate against")
+    co.add_argument("--lang", default="en",
+                    help="language gate ('' keeps all)")
+    co.add_argument("--budget-tokens", type=int, default=2048)
+    co.add_argument("--jaccard-ngram", type=int, default=1)
+    co.add_argument("--audit", action="store_true",
+                    help="count survivors per stage (one job per stage)")
+    co.set_defaults(fn=_cmd_corpus)
 
     g = sub.add_parser("ingest", help="incremental batch -> new generation")
     g.add_argument("--pages", required=True)

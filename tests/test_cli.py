@@ -117,3 +117,43 @@ def test_cli_build_query_resume(pages_parquet, tmp_path_factory):
     assert resumed["n_docs"] == 300
     hits2 = _run("query", "--index-dir", idx, "--query", "danger", "-k", "5")
     assert hits2["hits"] == hits["hits"]
+
+
+def test_cli_corpus_from_wet(spark, tmp_path_factory):
+    """python -m share_spark corpus --wet: WET records -> hygiene pipeline
+    -> corpus parquet + training-shard parquet, url variants deduped."""
+    import json
+    import subprocess
+    import sys
+
+    from share_spark import warc
+
+    d = tmp_path_factory.mktemp("cli_corpus")
+    wet = d / "wet"
+    wet.mkdir()
+    recs = [
+        {"url": "https://a.example/0", "date_iso": "2022-07-01T00:00:00Z",
+         "text": "the quick brown fox jumps over the lazy dog near the "
+                 "mill today"},
+        {"url": "http://www.a.example/0/", "date_iso": "2022-07-01T01:00:00Z",
+         "text": "url variant duplicate body that is long enough to pass "
+                 "the gate fine"},
+        {"url": "https://a.example/1", "date_iso": "2022-07-02T00:00:00Z",
+         "text": "another document with plenty of fresh useful vocabulary "
+                 "for the training corpus"},
+    ]
+    (wet / "seg.warc.wet.gz").write_bytes(warc.write_wet(recs))
+    out = subprocess.run(
+        [sys.executable, "-m", "share_spark", "corpus",
+         "--pages", str(wet), "--wet",
+         "--out", str(d / "out"), "--packs-dir", str(d / "packs"),
+         "--audit"],
+        capture_output=True, text=True, timeout=500,
+        cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    res = json.loads(out.stdout.strip().splitlines()[-1])
+    assert res["n_docs"] == 2
+    assert res["stats"]["input"] == 3 and res["stats"]["url_dedup"] == 2
+    packs = spark.read.parquet(str(d / "packs")).collect()
+    assert len(packs) == 1 and packs[0]["total_tokens"] == 25
