@@ -84,8 +84,12 @@ def _cmd_corpus(args: argparse.Namespace) -> dict:
         from .warc import read_wet
 
         pages = read_wet(spark, args.pages)
+        # non-negative synthetic ids: downstream consumers (index build
+        # chunking, pack bucketing) are tested on the natural-number range
         docs = pages.select(
-            F.xxhash64("url").alias("doc_id"), "url", "text"
+            F.pmod(F.xxhash64("url"), F.lit(1 << 62)).alias("doc_id"),
+            "url",
+            "text",
         )
     else:
         docs = spark.read.parquet(args.pages)
