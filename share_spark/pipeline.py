@@ -45,7 +45,11 @@ class PipelineConfig:
     max_dup_line_frac: float = 0.3   # Gopher A1.1 repetition gates
     max_top_bigram_frac: float = 0.2
     jaccard_threshold: float = 0.5   # near-dup verify bar
-    jaccard_ngram: int = 1           # verify shingle length (5+ for prose)
+    # shingle length for BOTH the MinHash signature space and the exact
+    # verify (one Jaccard space end-to-end); 1 = unigram sets, 3-5 = the
+    # word-shingle space real web dedup uses — at corpus scale unigram
+    # signatures collide superlinearly (see minhash_signatures_wide)
+    jaccard_ngram: int = 3
     minhash_perm: int = 16
     minhash_band: int = 4
     decontaminate_n: int = 8         # eval-overlap gram length
@@ -130,7 +134,8 @@ def build_training_corpus(
     # 5. near-dedup: LSH candidates -> exact Jaccard verify -> connected
     #    components -> canonical keep-list (the SURVEY-mandated scale path)
     cand = textops.minhash_lsh_pairs(
-        cur, n_perm=cfg.minhash_perm, band_size=cfg.minhash_band
+        cur, n_perm=cfg.minhash_perm, band_size=cfg.minhash_band,
+        ngram=cfg.jaccard_ngram,
     )
     verified = textops.jaccard_verify(
         cur, cand, threshold=cfg.jaccard_threshold, n=cfg.jaccard_ngram

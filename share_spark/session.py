@@ -197,6 +197,7 @@ def get_spark(
     if scratch is None and os.path.isdir("/dev/shm"):
         scratch = "/dev/shm/spark_local"
         os.makedirs(scratch, exist_ok=True)
+        _sweep_orphaned_scratch(scratch)
     if scratch:
         builder = builder.config("spark.local.dir", scratch)
     for k, v in (extra_conf or {}).items():
@@ -204,3 +205,29 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def _sweep_orphaned_scratch(scratch: str) -> None:
+    """Delete shuffle scratch left by DEAD JVMs.
+
+    The tmpfs scratch is RAM: a SIGKILLed driver (test timeout, OOM
+    killer) leaks its spark-*/blockmgr-* dirs there, and across runs the
+    leaks accumulate until the box has no memory left — observed 93 GB of
+    dead scratch starving live jobs. Spark only cleans its OWN dirs on
+    graceful shutdown, so sweep at session start: when no java process is
+    alive, every entry is orphaned. With ANY java alive we leave
+    everything (cannot attribute dirs to pids) — the sweep is a
+    best-effort janitor, not a correctness mechanism."""
+    import shutil
+    import subprocess
+
+    try:
+        alive = subprocess.run(
+            ["pgrep", "-c", "java"], capture_output=True, text=True
+        )
+        if alive.stdout.strip() not in ("", "0"):
+            return
+        for name in os.listdir(scratch):
+            shutil.rmtree(os.path.join(scratch, name), ignore_errors=True)
+    except Exception:
+        pass  # never let the janitor break session startup

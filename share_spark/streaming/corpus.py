@@ -59,6 +59,7 @@ def admit_batch(
     near_dedup: bool = False,
     n_perm: int = 16,
     band_size: int = 4,
+    ngram: int = 3,
 ) -> DataFrame:
     """Dedup `batch` (doc_id, text, optionally url) within itself AND
     against the persistent seen store, then append the admitted docs to
@@ -73,8 +74,11 @@ def admit_batch(
     historical documents' shingles, i.e. corpus-sized state): a band
     collision between genuinely dissimilar docs falsely drops one, at a
     rate driven by band_size (raise it for fewer false drops, lower
-    recall). Batch pipelines wanting the exact guarantee run
-    pipeline.build_training_corpus over the admitted corpus instead.
+    recall) and by `ngram` — the shingle space the signatures sketch
+    (unigram signatures collide superlinearly at corpus scale, see
+    minhash_signatures_wide; 3 is the floor for prose). Batch pipelines
+    wanting the exact guarantee run pipeline.build_training_corpus over
+    the admitted corpus instead.
 
     Idempotence: keys are written BEFORE documents, so a replayed batch
     whose first run crashed mid-write can only under-admit (safe for a
@@ -119,7 +123,7 @@ def admit_batch(
         # and without the checkpoint each action would re-shingle and
         # re-minhash the batch — the dominant per-batch compute
         bands = textops.minhash_band_rows(
-            keyed, n_perm, band_size
+            keyed, n_perm, band_size, ngram=ngram
         ).localCheckpoint()
         # within-batch: first doc (min doc_id) per LSH bucket wins; any
         # later doc sharing >=1 bucket is dropped (chain-aggressive by

@@ -192,10 +192,19 @@ def _perm_hash_col(
 
 def minhash_signatures_wide(
     docs: DataFrame, n_perm: int = 16, text_col: str = "text",
-    hash_fn: str = "md5",
+    hash_fn: str = "md5", ngram: int = 1,
 ) -> DataFrame:
     """(doc_id, mh0..mh{n-1}): all permutation minima as COLUMNS of one
     aggregation — no (token x n_perm) row explode.
+
+    `ngram` sets the SHINGLE length the signature sketches (the Jaccard
+    space): 1 = unigram token sets, 3-5 = the word-shingle space real
+    web-dedup runs use. This matters at scale: with a Zipf vocabulary,
+    unigram sets of unrelated documents overlap heavily, so their
+    signatures collide and LSH candidate volume grows superlinearly in
+    corpus size (measured: 2.8M candidate pairs at 200k docs -> OOM at 2M
+    under the default 16/4 banding); shingles make unrelated docs nearly
+    disjoint and collapse candidates to true near-dups.
 
     Scale shape: the old layout shuffled n_tokens * n_perm rows; this one
     computes the n_perm hashes as expressions per token row (map-side) and
@@ -203,7 +212,12 @@ def minhash_signatures_wide(
     collapses each task's rows to one row per doc — shuffle bytes are
     n_docs * n_perm * 8, independent of document length.
     """
-    toks = token_set(docs, text_col)
+    if ngram == 1:
+        toks = token_set(docs, text_col)
+    else:
+        toks = ngram_rows(docs, ngram, text_col).withColumnRenamed(
+            "ngram", "token"
+        )
     return toks.groupBy("doc_id").agg(
         *[
             F.min(_perm_hash_col(p, hash_fn=hash_fn)).alias(f"mh{p}")
@@ -231,12 +245,15 @@ def minhash_band_rows(
     band_size: int = 4,
     text_col: str = "text",
     hash_fn: str = "md5",
+    ngram: int = 1,
 ) -> DataFrame:
     """(doc_id, band, band_key) LSH band rows — the bucketing half of the
     MinHash dedup plan, exposed separately so incremental pipelines can
     persist band keys and anti-join new batches against history
     (streaming/corpus.py) instead of re-pairing the full corpus."""
-    sig = minhash_signatures_wide(docs, n_perm, text_col, hash_fn=hash_fn)
+    sig = minhash_signatures_wide(
+        docs, n_perm, text_col, hash_fn=hash_fn, ngram=ngram
+    )
     n_bands = n_perm // band_size
     band_keys = F.array(
         *[
@@ -261,6 +278,7 @@ def minhash_lsh_pairs(
     band_size: int = 4,
     text_col: str = "text",
     hash_fn: str = "md5",
+    ngram: int = 1,
 ) -> DataFrame:
     """MinHash + LSH candidate pairs: band the signature, bucket-join.
 
@@ -271,7 +289,7 @@ def minhash_lsh_pairs(
     guarantee is needed.
     """
     banded = minhash_band_rows(
-        docs, n_perm, band_size, text_col, hash_fn=hash_fn
+        docs, n_perm, band_size, text_col, hash_fn=hash_fn, ngram=ngram
     )
     a = banded.alias("a")
     b = banded.alias("b")
@@ -744,14 +762,20 @@ def decontaminate(
             t = F.regexp_replace(F.lower(t), r"[^a-z0-9\s]", " ")
         return df.select(id_expr.alias("doc_id"), t.alias(text_col))
 
-    doc_grams = ngram_rows(_norm(docs, F.col("doc_id")), n, text_col)
+    # the overlap join runs on xxhash64(gram), not the gram string: the
+    # corpus side explodes to n_docs x grams-per-doc rows, and 8-byte
+    # keys measured ~2x faster than strings at 2M docs (same counts
+    # barring a 64-bit collision — the standard at-scale tradeoff)
+    doc_grams = ngram_rows(_norm(docs, F.col("doc_id")), n, text_col).select(
+        "doc_id", F.xxhash64("ngram").alias("gh")
+    )
     eval_grams = (
         ngram_rows(_norm(eval_texts, F.col("eval_id")), n, text_col)
-        .select("ngram")
+        .select(F.xxhash64("ngram").alias("gh"))
         .distinct()
     )
     hits = (
-        doc_grams.join(F.broadcast(eval_grams), "ngram")
+        doc_grams.join(F.broadcast(eval_grams), "gh")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_contaminated_grams"))
     )
