@@ -2,8 +2,8 @@
 LLM data run executes, built entirely from this repo's operators.
 
     raw pages ──> url dedup ──> quality gate ──> language filter
-        ──> exact dedup ──> MinHash-LSH near-dedup ──> repetition gate
-        ──> eval-set decontamination ──> PII scrub
+        ──> exact dedup ──> MinHash-LSH near-dedup ──> embedding near-dedup
+        ──> repetition gate ──> eval-set decontamination ──> PII scrub
         ──> deterministic source sampling ──> sequence packing
 
 Each stage is one of the already-tested operators (urltools, textops,
@@ -32,7 +32,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from . import graph, textops, urltools
+from . import graph, similarity, textops, urltools
 
 
 @dataclass(frozen=True)
@@ -53,6 +53,10 @@ class PipelineConfig:
     minhash_perm: int = 16
     minhash_band: int = 4
     decontaminate_n: int = 8         # eval-overlap gram length
+    # embedding near-dup gate (runs only when docs carry an `embedding`
+    # array column): cosine threshold + hyperplane-LSH bucket count
+    embedding_cos_threshold: float = 0.95
+    embedding_lsh_planes: int = 8
     budget_tokens: int = 2048        # pack size
     seed: int = 7
     # source -> keep rate in [0,1]; sources absent from the map keep 1.0
@@ -145,6 +149,25 @@ def build_training_corpus(
     cur = checkpoint(
         "near_dedup", cur.join(keep.select("doc_id"), "doc_id", "left_semi")
     )
+
+    # 5b. embedding near-dedup (the fifth modality — semantic dups that
+    #     survive lexical dedup: translations, templated rewrites), when
+    #     an embedding column is present: within-bucket cosine pairs ->
+    #     connected components -> canonical keep-list, same shape as 5
+    if "embedding" in cur.columns:
+        epairs = similarity.all_pairs_above(
+            cur.select(F.col("doc_id").alias("vec_id"), "embedding"),
+            threshold=cfg.embedding_cos_threshold,
+            n_planes=cfg.embedding_lsh_planes,
+        ).select(
+            F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+        )
+        eclusters = graph.connected_components(epairs)
+        ekeep = graph.canonical_docs(cur, eclusters).filter(F.col("keep"))
+        cur = checkpoint(
+            "embedding_dedup",
+            cur.join(ekeep.select("doc_id"), "doc_id", "left_semi"),
+        )
 
     # 6. repetition gate (Gopher A1.1)
     rep = textops.repetition_metrics(cur).filter(

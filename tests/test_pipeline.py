@@ -118,3 +118,33 @@ def test_pii_scrubbed_in_output(spark):
     (row,) = out.collect()
     assert "<EMAIL>" in row["text_scrubbed"]
     assert "admin@example.com" not in row["text_scrubbed"]
+
+
+def test_embedding_neardup_stage(spark):
+    """Docs carrying an `embedding` column get the fifth dedup modality:
+    near-parallel vectors cluster and only the min doc_id survives."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=8)
+    rows = []
+    texts = [
+        "first document with plenty of distinct useful words about storage",
+        "second piece covering query planners and shuffle strategies today",
+        "third text on crawling the web politely and parsing the content",
+    ]
+    vecs = [
+        base,                               # doc 0
+        base + rng.normal(scale=0.01, size=8),  # doc 1: semantic dup of 0
+        rng.normal(size=8),                 # doc 2: unrelated
+    ]
+    for i, (t, v) in enumerate(zip(texts, vecs)):
+        rows.append((i, t, [float(x) for x in v]))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, embedding array<double>")
+    from share_spark.pipeline import PipelineConfig, build_training_corpus
+
+    out, stats = build_training_corpus(
+        docs, PipelineConfig(lang=None), audit=True
+    )
+    assert stats["embedding_dedup"] == 2
+    assert {r["doc_id"] for r in out.collect()} == {0, 2}
