@@ -67,14 +67,31 @@ def token_set(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def ngram_rows(docs: DataFrame, n: int, text_col: str = "text") -> DataFrame:
     """(doc_id, ngram) distinct word-shingles of length n, built with
-    higher-order array functions (JVM-side, no UDF)."""
-    toks = F.filter(_tokens_col(text_col), lambda t: t != F.lit(""))
+    higher-order array functions (JVM-side, no UDF).
+
+    Per-gram cost must be O(n), NOT O(len): the token array is
+    materialized ONCE per row (a projection, so gram construction reads a
+    bound attribute) and each gram reads n elements via constant-time
+    element_at. The earlier form both sliced O(len) per gram AND inlined
+    the filter(split(text)) expression into the lambda — Catalyst
+    re-evaluates inlined subexpressions per element access, so a single
+    50k-token page (real crawls have them) hung the shingle stages for
+    minutes at O(len^2) and worse."""
+    base = docs.select(
+        "doc_id",
+        F.filter(_tokens_col(text_col), lambda t: t != F.lit("")).alias(
+            "_toks"
+        ),
+    )
+    toks = F.col("_toks")
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + k + 1) for k in range(n)]
+        ),
     )
     grams = F.when(F.size(toks) >= n, grams).otherwise(F.array())
-    return docs.select(
+    return base.select(
         "doc_id", F.explode(F.array_distinct(grams)).alias("ngram")
     )
 
@@ -584,17 +601,28 @@ def repetition_metrics(docs: DataFrame, text_col: str = "text") -> DataFrame:
             4,
         ),
     ).otherwise(F.lit(0.0))
+    # token array materialized ONCE per row: gram construction must read
+    # a bound attribute with constant-time element_at — an inlined
+    # filter(split(_t)) re-evaluates per element access and a slice copies
+    # O(len) per gram, O(len^2)+ per document (hung on 50k-token pages;
+    # same fix as ngram_rows)
     base = docs.select(
-        "doc_id", F.col(text_col).alias("_t"), dup_line_frac.alias("dup_line_frac")
+        "doc_id",
+        F.filter(
+            F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit("")
+        ).alias("_toks"),
+        dup_line_frac.alias("dup_line_frac"),
     )
 
     def top_frac(n: int, out_col: str) -> DataFrame:
-        toks = F.filter(F.split(F.col("_t"), r"\s+"), lambda t: t != F.lit(""))
+        toks = F.col("_toks")
         grams = F.when(
             F.size(toks) >= n,
             F.transform(
                 F.sequence(F.lit(0), F.size(toks) - n),
-                lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, i + k + 1) for k in range(n)]
+                ),
             ),
         ).otherwise(F.array().cast("array<string>"))
         exploded = base.select(

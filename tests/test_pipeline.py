@@ -148,3 +148,31 @@ def test_embedding_neardup_stage(spark):
     )
     assert stats["embedding_dedup"] == 2
     assert {r["doc_id"] for r in out.collect()} == {0, 2}
+
+
+def test_pipeline_adversarial_inputs(spark):
+    """Pathological rows must flow through without crashing: NULL text,
+    empty text, a huge document, unicode, whitespace-only."""
+    big = "word " * 50_000
+    rows = [
+        (0, None, None, "web"),
+        (1, "", "https://a.example/e", "web"),
+        (2, "   \t  \n ", None, "web"),
+        (3, big + "the and of to in is that for with was", "https://a.example/big", "web"),
+        (4, "émojis 😀 and ünïcode tokens mixed with the usual english "
+            "words that is for the gate to pass", "https://a.example/u", "web"),
+        (5, GOOD, "https://a.example/g", "web"),
+    ]
+    docs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text", "url", "source"])
+    )
+    from share_spark.pipeline import PipelineConfig, build_training_corpus
+
+    out, stats = build_training_corpus(
+        docs, PipelineConfig(max_top_bigram_frac=1.0), audit=True
+    )
+    got = {r["doc_id"]: r for r in out.collect()}
+    # null/empty/whitespace die at quality; big+unicode+good survive
+    assert set(got) == {3, 4, 5}, stats
+    assert got[3]["n_tokens"] >= 50_000
+    assert "😀" in got[4]["text_scrubbed"]
