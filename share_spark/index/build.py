@@ -162,6 +162,27 @@ def _stage_dir(index_dir: str, stage: str) -> str:
     return os.path.join(index_dir, stage)
 
 
+def _parquet_rows(path: str) -> int | None:
+    """Exact row count of a local parquet directory from file FOOTERS only
+    (no Spark job — same trick the compaction policy uses for tombstones).
+    Returns None when the path is not a local directory of parquet files
+    (object stores etc.), so callers fall back to a metadata count job."""
+    try:
+        import pyarrow.parquet as pq
+
+        if not os.path.isdir(path):
+            return None
+        total = 0
+        for name in os.listdir(path):
+            if name.endswith(".parquet"):
+                total += pq.ParquetFile(
+                    os.path.join(path, name)
+                ).metadata.num_rows
+        return total
+    except Exception:
+        return None
+
+
 def _done_marker(index_dir: str, stage: str) -> str:
     return os.path.join(index_dir, f"_DONE_{stage}")
 
@@ -223,70 +244,199 @@ def build_docs(
     return docs
 
 
+def _binary_from_offsets(n: int, bounds: np.ndarray, data) -> "object":
+    """Arrow binary array over an existing byte buffer: `bounds` are the
+    int64 byte offsets of each of the n+1 value boundaries. Zero per-value
+    Python objects (guide: Arrow binary = one data buffer + offsets)."""
+    import pyarrow as pa
+
+    off32 = np.ascontiguousarray(bounds, dtype=np.int32)
+    buf = data if isinstance(data, pa.Buffer) else pa.py_buffer(
+        np.ascontiguousarray(data, dtype=np.uint8)
+    )
+    return pa.Array.from_buffers(
+        pa.binary(), n, [None, pa.py_buffer(off32), buf]
+    )
+
+
+def _as_array(col):
+    """pa.Table column (ChunkedArray) -> single pa.Array."""
+    import pyarrow as pa
+
+    if isinstance(col, pa.ChunkedArray):
+        if col.num_chunks == 1:
+            return col.chunk(0)
+        if col.num_chunks == 0:
+            return pa.array([], type=col.type)
+        return pa.concat_arrays(col.chunks)
+    return col
+
+
+def _binary_parts(arr) -> tuple[np.ndarray, np.ndarray]:
+    """(uint8 data view, int64 value offsets) of an Arrow BinaryArray,
+    slice-offset corrected. data is the WHOLE buffer; offsets are absolute
+    byte positions into it (len(arr)+1 entries)."""
+    o = arr.offset
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+        o : o + len(arr) + 1
+    ].astype(np.int64)
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    return data, offs
+
+
 def build_termdoc(docs: DataFrame, analyzer: str) -> DataFrame:
     """docs -> (term, doc_id, tf, dl, pos_bin): per-doc term counting + token
     positions, all inside the UDF (map-side combine — no shuffle here, and
     downstream shuffles move one row per posting, never per token occurrence).
 
     Positions are the analyzer token offsets (0-based) of each term in its
-    document, delta+varint encoded per posting. Fully vectorized: one lexsort
-    over the token stream groups (doc, term) pairs while keeping positions in
-    ascending order (stable sort), then one grouped delta-encode pass.
+    document, delta+varint encoded per posting. Fully vectorized — and, on
+    the standard-analyzer ASCII fast path, fully Arrow-native (mapInArrow):
+    tokens are dictionary-encoded so grouping sorts int32 codes instead of
+    Python strings, and the output batch is assembled from Arrow buffers
+    (pos_bin via one offsets array over one encode buffer) with zero
+    per-row Python objects crossing the JVM boundary. Row ORDER within a
+    batch differs from the legacy pandas path (code order vs lexicographic),
+    which is immaterial: rows feed a hash repartition + sortWithinPartitions
+    that fixes the final order; group contents and bytes are identical.
     """
-    from .codec import delta_encode_blocks
+    from .codec import delta_encode_blocks, delta_encode_offsets
 
-    def _count_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def _pandas_body(pdf: pd.DataFrame):
+        """Frozen fallback (non-ASCII batches / field-scoped path_key)."""
         from ..analysis import tokenize_batch_flat
 
-        for pdf in batches:
-            parents, toks = tokenize_batch_flat(pdf["text_norm"], analyzer)
-            n = len(toks)
+        parents, toks = tokenize_batch_flat(pdf["text_norm"], analyzer)
+        n = len(toks)
+        if n == 0:
+            return None
+        # per-row token count IS the BM25 dl — same deterministic
+        # token stream build_docs used to pre-compute, minus the
+        # second corpus-wide tokenize pass
+        dlen = np.bincount(parents, minlength=len(pdf)).astype("int32")
+        if "path_key" in pdf.columns:
+            pk = pdf["path_key"].fillna("").to_numpy()
+            if (pk != "").any():
+                # per-path term namespace: '<path>\x1f<token>'
+                pref = pk[parents]
+                toks = np.where(
+                    pref == "", toks, pref + FIELD_SEP + toks
+                ).astype(object)
+        # token position within each doc: parents is non-decreasing
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        change[1:] = parents[1:] != parents[:-1]
+        run_starts = np.nonzero(change)[0]
+        run_ids = np.cumsum(change) - 1
+        pos = np.arange(n, dtype=np.int64) - run_starts[run_ids]
+        # group by (doc, term); stable => positions stay ascending in-group
+        order = np.lexsort((toks, parents))
+        p_s, t_s, pos_s = parents[order], toks[order], pos[order]
+        gchange = np.empty(n, dtype=bool)
+        gchange[0] = True
+        gchange[1:] = (p_s[1:] != p_s[:-1]) | (t_s[1:] != t_s[:-1])
+        gstarts = np.nonzero(gchange)[0]
+        gends = np.append(gstarts[1:], n)
+        tf = (gends - gstarts).astype(np.int32)
+        pos_bins = delta_encode_blocks(pos_s, gstarts, gends)
+        gp = p_s[gstarts]
+        return pd.DataFrame(
+            {
+                "term": t_s[gstarts],
+                "doc_id": pdf["doc_id"].to_numpy()[gp],
+                "tf": tf,
+                "dl": dlen[gp],
+                "pos_bin": pos_bins,
+            }
+        )
+
+    def _count_batches_arrow(batches) -> Iterator:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        if pa.cpu_count() != 1:  # one Spark worker per core already
+            pa.set_cpu_count(1)
+            pa.set_io_thread_count(1)
+
+        names = None
+
+        def fallback(batch):
+            out = _pandas_body(batch.to_pandas())
+            if out is None or not len(out):
+                return None
+            return pa.RecordBatch.from_pandas(out, preserve_index=False)
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            if names is None:
+                names = batch.schema.names
+            text = pc.fill_null(batch.column(names.index("text_norm")), "")
+            fast = analyzer == "standard" and pc.all(
+                pc.string_is_ascii(text)
+            ).as_py()
+            if fast and "path_key" in names:
+                pk = pc.fill_null(batch.column(names.index("path_key")), "")
+                if not pc.all(pc.equal(pk, "")).as_py():
+                    fast = False  # field-prefixed terms: frozen pandas path
+            if not fast:
+                out = fallback(batch)
+                if out is not None:
+                    yield out
+                continue
+            # --- Arrow fast path: byte-identical groups to the fallback ---
+            split = pc.split_pattern_regex(pc.utf8_lower(text), r"[^0-9a-z_]+")
+            flat = pc.list_flatten(split)
+            parents = pc.list_parent_indices(split).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            keep = pc.not_equal(flat, "")
+            flat = flat.filter(keep)
+            parents = parents[keep.to_numpy(zero_copy_only=False)]
+            n = len(flat)
             if n == 0:
                 continue
-            # per-row token count IS the BM25 dl — same deterministic
-            # token stream build_docs used to pre-compute, minus the
-            # second corpus-wide tokenize pass
-            dlen = np.bincount(parents, minlength=len(pdf)).astype("int32")
-            if "path_key" in pdf.columns:
-                pk = pdf["path_key"].fillna("").to_numpy()
-                if (pk != "").any():
-                    # per-path term namespace: '<path>\x1f<token>'
-                    pref = pk[parents]
-                    toks = np.where(
-                        pref == "", toks, pref + FIELD_SEP + toks
-                    ).astype(object)
-            # token position within each doc: parents is non-decreasing
+            dct = flat.dictionary_encode()
+            codes = dct.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            dlen = np.bincount(parents, minlength=batch.num_rows).astype(
+                np.int32
+            )
             change = np.empty(n, dtype=bool)
             change[0] = True
             change[1:] = parents[1:] != parents[:-1]
             run_starts = np.nonzero(change)[0]
             run_ids = np.cumsum(change) - 1
             pos = np.arange(n, dtype=np.int64) - run_starts[run_ids]
-            # group by (doc, term); stable => positions stay ascending in-group
-            order = np.lexsort((toks, parents))
-            p_s, t_s, pos_s = parents[order], toks[order], pos[order]
+            order = np.lexsort((codes, parents))  # stable: positions ascend
+            p_s, c_s, pos_s = parents[order], codes[order], pos[order]
             gchange = np.empty(n, dtype=bool)
             gchange[0] = True
-            gchange[1:] = (p_s[1:] != p_s[:-1]) | (t_s[1:] != t_s[:-1])
+            gchange[1:] = (p_s[1:] != p_s[:-1]) | (c_s[1:] != c_s[:-1])
             gstarts = np.nonzero(gchange)[0]
             gends = np.append(gstarts[1:], n)
             tf = (gends - gstarts).astype(np.int32)
-            pos_bins = delta_encode_blocks(pos_s, gstarts, gends)
+            pos_buf, pos_bounds = delta_encode_offsets(pos_s, gstarts, gends)
             gp = p_s[gstarts]
-            yield pd.DataFrame(
-                {
-                    "term": t_s[gstarts],
-                    "doc_id": pdf["doc_id"].to_numpy()[gp],
-                    "tf": tf,
-                    "dl": dlen[gp],
-                    "pos_bin": pos_bins,
-                }
+            doc_ids = batch.column(names.index("doc_id")).to_numpy(
+                zero_copy_only=False
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    dct.dictionary.take(pa.array(c_s[gstarts])),
+                    pa.array(doc_ids[gp], type=pa.int64()),
+                    pa.array(tf, type=pa.int32()),
+                    pa.array(dlen[gp], type=pa.int32()),
+                    _binary_from_offsets(len(gstarts), pos_bounds, pos_buf),
+                ],
+                names=["term", "doc_id", "tf", "dl", "pos_bin"],
             )
 
     sel = ["doc_id", "text_norm"]
     if "path_key" in docs.columns:
         sel.append("path_key")
-    return docs.select(*sel).mapInPandas(_count_batches, schema=TERMDOC_SCHEMA)
+    return docs.select(*sel).mapInArrow(
+        _count_batches_arrow, schema=TERMDOC_SCHEMA
+    )
 
 
 def decode_termdoc(blocks: DataFrame, postings_codec: str) -> DataFrame:
@@ -299,58 +449,124 @@ def decode_termdoc(blocks: DataFrame, postings_codec: str) -> DataFrame:
     scale the avoided analyze pass is the entire corpus' CPU cost, and the
     merge becomes IO-bound).  Map-side only: no shuffle here, the caller
     feeds the rows into the build's own salted exchange."""
-    from .codec import delta_encode_blocks
+    from .codec import delta_encode_blocks, varint_value_ends
 
     codec = get_codec(postings_codec)
     schema = T.StructType(
         list(TERMDOC_SCHEMA) + [T.StructField("gen", T.IntegerType())]
     )
 
-    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
+    def _pandas_body(pdf: pd.DataFrame) -> pd.DataFrame:
+        """Generic (any codec) decode of one block batch."""
+        ns = pdf["n"].to_numpy(dtype=np.int64)
+        ids = codec.decode_delta(pdf["docs_bin"], ns).astype(np.int64)
+        tfs = codec.decode_plain(pdf["tfs_bin"], ns).astype(np.int64)
+        dls = codec.decode_plain(pdf["dls_bin"], ns).astype(np.int64)
+        pos_abs = np.asarray(
+            codec.decode_runs(pdf["pos_bin"], ns, tfs), dtype=np.int64
+        )
+        rends = np.cumsum(tfs)
+        rstarts = rends - tfs
+        return pd.DataFrame(
+            {
+                "term": np.repeat(pdf["term"].to_numpy(), ns),
+                "doc_id": ids,
+                "tf": tfs.astype(np.int32),
+                "dl": dls.astype(np.int32),
+                "pos_bin": delta_encode_blocks(pos_abs, rstarts, rends),
+                "gen": np.repeat(pdf["gen"].to_numpy(dtype=np.int32), ns),
+            }
+        )
+
+    def _decode_arrow(batches) -> Iterator:
+        import pyarrow as pa
+
+        from .codec import grouped_delta_decode, varint_decode
+
+        names = None
+        for batch in batches:
+            if batch.num_rows == 0:
                 continue
-            ns = pdf["n"].to_numpy(dtype=np.int64)
-            ids = codec.decode_delta(pdf["docs_bin"], ns).astype(np.int64)
-            tfs = codec.decode_plain(pdf["tfs_bin"], ns).astype(np.int64)
-            dls = codec.decode_plain(pdf["dls_bin"], ns).astype(np.int64)
-            pos_abs = np.asarray(
-                codec.decode_runs(pdf["pos_bin"], ns, tfs), dtype=np.int64
+            if names is None:
+                names = batch.schema.names
+            if codec.name != "varint":
+                out = _pandas_body(batch.to_pandas())
+                if len(out):
+                    yield pa.RecordBatch.from_pandas(
+                        out, preserve_index=False
+                    )
+                continue
+            # --- varint fast path, Arrow-native ---
+            ns = batch.column(names.index("n")).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            dd, do = _binary_parts(batch.column(names.index("docs_bin")))
+            ids = grouped_delta_decode(
+                np.ascontiguousarray(dd[do[0] : do[-1]]), ns
+            ).astype(np.int64)
+            td, to = _binary_parts(batch.column(names.index("tfs_bin")))
+            tfs = varint_decode(
+                np.ascontiguousarray(td[to[0] : to[-1]])
+            ).astype(np.int64)
+            ld, lo = _binary_parts(batch.column(names.index("dls_bin")))
+            dls = varint_decode(
+                np.ascontiguousarray(ld[lo[0] : lo[-1]])
+            ).astype(np.int64)
+            # pos_bin: the stored per-block stream is the byte-concatenation
+            # of per-posting runs in build_termdoc's own layout, so the
+            # per-posting split is a RE-SLICE of the same buffer at varint
+            # value boundaries — no decode, no re-encode, zero copy.
+            pos_arr = batch.column(names.index("pos_bin"))
+            pd_data, pd_off = _binary_parts(pos_arr)
+            seg = np.ascontiguousarray(pd_data[pd_off[0] : pd_off[-1]])
+            ve = varint_value_ends(seg)
+            n_post = ids.shape[0]
+            vstarts = np.zeros(n_post + 1, dtype=np.int64)
+            np.cumsum(tfs, out=vstarts[1:])
+            byte_bounds = np.zeros(ve.shape[0] + 1, dtype=np.int64)
+            byte_bounds[1:] = ve
+            post_bounds = byte_bounds[vstarts] + pd_off[0]
+            rep = pa.array(
+                np.repeat(np.arange(batch.num_rows, dtype=np.int64), ns)
             )
-            rends = np.cumsum(tfs)
-            rstarts = rends - tfs
-            yield pd.DataFrame(
-                {
-                    "term": np.repeat(pdf["term"].to_numpy(), ns),
-                    "doc_id": ids,
-                    "tf": tfs.astype(np.int32),
-                    "dl": dls.astype(np.int32),
-                    "pos_bin": delta_encode_blocks(pos_abs, rstarts, rends),
-                    "gen": np.repeat(
-                        pdf["gen"].to_numpy(dtype=np.int32), ns
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(names.index("term")).take(rep),
+                    pa.array(ids, type=pa.int64()),
+                    pa.array(tfs.astype(np.int32), type=pa.int32()),
+                    pa.array(dls.astype(np.int32), type=pa.int32()),
+                    _binary_from_offsets(
+                        n_post, post_bounds, pos_arr.buffers()[2]
                     ),
-                }
+                    batch.column(names.index("gen")).take(rep),
+                ],
+                names=["term", "doc_id", "tf", "dl", "pos_bin", "gen"],
             )
 
     return blocks.select(
         "term", "n", "docs_bin", "tfs_bin", "dls_bin", "pos_bin", "gen"
-    ).mapInPandas(_decode, schema=schema)
+    ).mapInArrow(_decode_arrow, schema=schema)
 
 
 def _make_block_encoder(cfg: IndexConfig):
-    """Posting-block encoder for one range partition — fully vectorized.
+    """Posting-block encoder for one range partition — fully vectorized and
+    Arrow-native (mapInArrow).
 
     Input arrives sorted by (term, doc_id); the iterator spans the whole
     partition, so the trailing (possibly unfinished) group is carried across
     Arrow batches. Per accumulated super-batch:
       1. group change points on (term, chunk) -> block starts (size-capped)
-      2. ONE varint pass per column, sliced per block by byte offsets
+      2. ONE varint pass per column, wrapped per block by byte OFFSETS over
+         the single encode buffer (no per-block bytes objects)
       3. per-block max_tf / min_dl via np.maximum/minimum.reduceat — the
          avgdl-independent block-max metadata (impact bounds are computed at
          QUERY time with the then-current global avgdl, so they stay valid
          as later generations shift avgdl)
-    No per-block numpy dispatch — the only Python-level loop is the final
-    bytes slicing (one cheap bytes[a:b] per block).
+      4. pos_bin (varint codec): blocks tile the posting stream, so the
+         per-block positional payload is a RE-SLICE of the incoming binary
+         column's own data buffer — new offsets, same bytes, zero copy
+    No per-block (or per-row) Python objects cross the JVM boundary in
+    either direction; term strings stay inside Arrow arrays end to end.
     Block boundaries: size limit, term change, chunk boundary
     (chunk = doc_id // chunk_docs) — see module docstring.
     """
@@ -358,36 +574,47 @@ def _make_block_encoder(cfg: IndexConfig):
     codec = get_codec(cfg.postings_codec)
     MIN_ROWS = 1 << 17  # accumulate small Arrow batches before encoding
 
-    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def encode(batches) -> Iterator:
+        import pyarrow as pa
+        import pyarrow.compute as pc
         from pyspark import TaskContext
 
-        part_id = TaskContext.get().partitionId() if TaskContext.get() else -1
-        carry: pd.DataFrame | None = None
+        from .codec import delta_encode_offsets, varint_encode_offsets
 
-        def process(pdf: pd.DataFrame, final: bool) -> pd.DataFrame | None:
+        part_id = TaskContext.get().partitionId() if TaskContext.get() else -1
+        carry = None  # pa.Table
+
+        def process(tbl, final: bool):
             nonlocal carry
             if carry is not None:
-                pdf = pd.concat([carry, pdf], ignore_index=True)
+                tbl = pa.concat_tables([carry, tbl]).combine_chunks()
                 carry = None
-            n = len(pdf)
+            n = tbl.num_rows
             if n == 0:
                 return None
-            terms = pdf["term"].to_numpy()
-            ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            term_arr = _as_array(tbl.column("term"))
+            ids = _as_array(tbl.column("doc_id")).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
             chunks = ids // chunk_docs
             change = np.empty(n, dtype=bool)
             change[0] = True
-            change[1:] = (terms[1:] != terms[:-1]) | (chunks[1:] != chunks[:-1])
+            if n > 1:
+                tdiff = pc.not_equal(
+                    term_arr.slice(1), term_arr.slice(0, n - 1)
+                ).to_numpy(zero_copy_only=False)
+                change[1:] = tdiff | (chunks[1:] != chunks[:-1])
             gstarts = np.nonzero(change)[0]
             if not final:
                 if len(gstarts) <= 1:
-                    carry = pdf
+                    carry = tbl
                     return None
-                cut = gstarts[-1]  # last (possibly unfinished) group carries
-                carry = pdf.iloc[cut:].reset_index(drop=True)
-                pdf = pdf.iloc[:cut]
+                cut = int(gstarts[-1])  # last (unfinished) group carries
+                carry = tbl.slice(cut)
+                tbl = tbl.slice(0, cut)
+                term_arr = term_arr.slice(0, cut)
                 n = cut
-                terms, ids, chunks = terms[:cut], ids[:cut], chunks[:cut]
+                ids, chunks = ids[:cut], chunks[:cut]
                 gstarts = gstarts[:-1]
             gends = np.append(gstarts[1:], n)
             glens = gends - gstarts
@@ -401,83 +628,112 @@ def _make_block_encoder(cfg: IndexConfig):
             bstarts = gstarts[gi] + within * bs
             bends = np.minimum(bstarts + bs, gends[gi])
 
-            tfs = pdf["tf"].to_numpy(dtype=np.int64)
-            dls = pdf["dl"].to_numpy(dtype=np.int64)
+            tfs = _as_array(tbl.column("tf")).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            dls = _as_array(tbl.column("dl")).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
             max_tf = np.maximum.reduceat(tfs, bstarts).astype(np.int32)
             min_dl = np.minimum.reduceat(dls, bstarts).astype(np.int32)
             sum_tf = np.add.reduceat(tfs, bstarts)
 
-            docs_bin = codec.encode_delta_blocks(ids, bstarts, bends)
-            tfs_bin = codec.encode_plain_blocks(tfs, bstarts, bends)
-            dls_bin = codec.encode_plain_blocks(dls, bstarts, bends)
-            # positional runs: build_termdoc ships them per-posting as
-            # delta-varint bytes ([first_abs, gap, ...] per run)
-            pos_vals = pdf["pos_bin"].tolist()
-            pbuf = b"".join(pos_vals)
+            pos_arr = _as_array(tbl.column("pos_bin"))
+            pdata, poffs = _binary_parts(pos_arr)
             if codec.name == "varint":
+                docs_buf, docs_off = delta_encode_offsets(ids, bstarts, bends)
+                tfs_buf, tfs_off = varint_encode_offsets(tfs, bstarts, bends)
+                dls_buf, dls_off = varint_encode_offsets(dls, bstarts, bends)
+                docs_bin = _binary_from_offsets(total, docs_off, docs_buf)
+                tfs_bin = _binary_from_offsets(total, tfs_off, tfs_buf)
+                dls_bin = _binary_from_offsets(total, dls_off, dls_buf)
                 # byte slicing IS re-encoding here: the per-block varint
-                # layout equals the concatenation of its runs' varint bytes
-                plens = np.fromiter(
-                    (len(x) for x in pos_vals), dtype=np.int64, count=n
+                # layout equals the concatenation of its runs' varint
+                # bytes, and blocks tile the stream — so the pos payload
+                # is the input buffer re-offset per block, zero copy
+                pos_bounds = np.empty(total + 1, dtype=np.int64)
+                pos_bounds[:-1] = poffs[bstarts]
+                pos_bounds[-1] = poffs[n]
+                pos_bin = _binary_from_offsets(
+                    total, pos_bounds, pos_arr.buffers()[2]
                 )
-                poffs = np.zeros(n + 1, dtype=np.int64)
-                np.cumsum(plens, out=poffs[1:])
-                pos_bin = [
-                    pbuf[poffs[s] : poffs[e]] for s, e in zip(bstarts, bends)
-                ]
             else:
+                docs_bin = pa.array(
+                    codec.encode_delta_blocks(ids, bstarts, bends),
+                    type=pa.binary(),
+                )
+                tfs_bin = pa.array(
+                    codec.encode_plain_blocks(tfs, bstarts, bends),
+                    type=pa.binary(),
+                )
+                dls_bin = pa.array(
+                    codec.encode_plain_blocks(dls, bstarts, bends),
+                    type=pa.binary(),
+                )
                 # decode the raw run value stream (first_abs + gaps, NOT
                 # absolute positions) and re-encode per block in the value
                 # domain — posting -> value offsets via the tf prefix sum
-                pvals = varint_decode(pbuf)
+                pvals = varint_decode(
+                    np.ascontiguousarray(pdata[poffs[0] : poffs[n]])
+                )
                 ctf = np.zeros(n + 1, dtype=np.int64)
                 np.cumsum(tfs, out=ctf[1:])
-                pos_bin = codec.encode_plain_blocks(
-                    pvals, ctf[bstarts], ctf[bends]
+                pos_bin = pa.array(
+                    codec.encode_plain_blocks(pvals, ctf[bstarts], ctf[bends]),
+                    type=pa.binary(),
                 )
-            return pd.DataFrame(
-                {
-                    "term": terms[bstarts],
-                    "chunk": chunks[bstarts],
-                    "first_doc": ids[bstarts],
-                    "last_doc": ids[bends - 1],
-                    "n": (bends - bstarts).astype(np.int32),
-                    "docs_bin": docs_bin,
-                    "tfs_bin": tfs_bin,
-                    "dls_bin": dls_bin,
-                    "pos_bin": pos_bin,
-                    "max_tf": max_tf,
-                    "min_dl": min_dl,
-                    "sum_tf": sum_tf,
-                    "part_id": np.full(total, part_id, dtype=np.int32),
-                }
+            bidx = pa.array(bstarts)
+            return pa.RecordBatch.from_arrays(
+                [
+                    term_arr.take(bidx),
+                    pa.array(chunks[bstarts], type=pa.int64()),
+                    pa.array(ids[bstarts], type=pa.int64()),
+                    pa.array(ids[bends - 1], type=pa.int64()),
+                    pa.array((bends - bstarts).astype(np.int32)),
+                    docs_bin,
+                    tfs_bin,
+                    dls_bin,
+                    pos_bin,
+                    pa.array(max_tf),
+                    pa.array(min_dl),
+                    pa.array(sum_tf, type=pa.int64()),
+                    pa.array(np.full(total, part_id, dtype=np.int32)),
+                ],
+                names=[
+                    "term", "chunk", "first_doc", "last_doc", "n",
+                    "docs_bin", "tfs_bin", "dls_bin", "pos_bin",
+                    "max_tf", "min_dl", "sum_tf", "part_id",
+                ],
             )
 
-        buf: list[pd.DataFrame] = []
+        cols = ["term", "doc_id", "tf", "dl", "pos_bin"]
+        buf: list = []
         buffered = 0
-        for pdf in batches:
-            buf.append(pdf)
-            buffered += len(pdf)
+        for rb in batches:
+            buf.append(rb)
+            buffered += rb.num_rows
             if buffered >= MIN_ROWS:
-                out = process(pd.concat(buf, ignore_index=True), final=False)
+                out = process(
+                    pa.Table.from_batches(buf).select(cols).combine_chunks(),
+                    final=False,
+                )
                 buf, buffered = [], 0
-                if out is not None and len(out):
+                if out is not None and out.num_rows:
                     yield out
-        tail = (
-            pd.concat(buf, ignore_index=True)
-            if buf
-            else pd.DataFrame(
+        if buf:
+            tail = pa.Table.from_batches(buf).select(cols).combine_chunks()
+        else:
+            tail = pa.table(
                 {
-                    "term": pd.Series([], dtype="object"),
-                    "doc_id": pd.Series([], dtype="int64"),
-                    "tf": pd.Series([], dtype="int64"),
-                    "dl": pd.Series([], dtype="int64"),
-                    "pos_bin": pd.Series([], dtype="object"),
+                    "term": pa.array([], type=pa.string()),
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "tf": pa.array([], type=pa.int32()),
+                    "dl": pa.array([], type=pa.int32()),
+                    "pos_bin": pa.array([], type=pa.binary()),
                 }
             )
-        )
         out = process(tail, final=True)
-        if out is not None and len(out):
+        if out is not None and out.num_rows:
             yield out
 
     return encode
@@ -607,9 +863,12 @@ def _build_index_impl(
     _lap("docs")
     docs = spark.read.parquet(docs_path)
 
-    # parquet metadata count only — avgdl is derived below from posting
-    # block metadata (sum_tf), so no job ever tokenizes just for stats
-    n_docs = docs.count()
+    # parquet FOOTER count only (no Spark job; falls back to a metadata
+    # count job on non-local filesystems) — avgdl is derived below from
+    # posting block metadata (sum_tf), so no job ever tokenizes for stats
+    n_docs = _parquet_rows(docs_path)
+    if n_docs is None:
+        n_docs = docs.count()
 
     # stage 2: posting blocks, pipelined docs -> tokenize -> shuffle -> sort
     # -> encode with NO intermediate materialization (per-posting rows exist
@@ -640,7 +899,7 @@ def _build_index_impl(
                 F.xxhash64("term", (F.col("doc_id") / window).cast("long")),
             )
             .sortWithinPartitions("term", "doc_id")
-            .mapInPandas(_make_block_encoder(cfg), schema=BLOCKS_SCHEMA)
+            .mapInArrow(_make_block_encoder(cfg), schema=BLOCKS_SCHEMA)
             .write.mode("overwrite")
             .parquet(postings_path)
         )
@@ -648,14 +907,24 @@ def _build_index_impl(
         _mark_done(gdir, "postings")
     _lap("postings")
 
-    # stage 2b (optional): term-clustered serve copy of the posting blocks.
-    # Input is the ENCODED blocks (already delta+varint compressed), so this
-    # shuffle moves a small multiple of the final index bytes — far cheaper
-    # than re-encoding. repartitionByRange on (term, chunk) splits a head
-    # term across partitions at chunk boundaries (no single-reducer skew at
-    # 10^12 docs) while keeping each term's blocks contiguous on disk; 1 MiB
-    # row groups give the serving tier a fine-grained read unit.
-    if cfg.serve_layout:
+    # stages 2b + 3 + the manifest metrics job all read ONLY the finished
+    # postings files and are mutually independent — submit them from a
+    # small thread pool so their tails back-fill each other's idle
+    # executors (guide §2.6: overlap independent jobs; actions were only
+    # sequential because this code called them sequentially).
+    import time as _time2
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _serve_stage() -> None:
+        # stage 2b (optional): term-clustered serve copy of the posting
+        # blocks. Input is the ENCODED blocks (already delta+varint
+        # compressed), so this shuffle moves a small multiple of the final
+        # index bytes — far cheaper than re-encoding. repartitionByRange on
+        # (term, chunk) splits a head term across partitions at chunk
+        # boundaries (no single-reducer skew at 10^12 docs) while keeping
+        # each term's blocks contiguous on disk; 1 MiB row groups give the
+        # serving tier a fine-grained read unit.
+        t0 = _time2.time()
         serve_path = _stage_dir(gdir, "postings_term")
         if not (resume and _stage_done(gdir, "postings_term")):
             serve_parts = max(4, (cfg.n_partitions or spark.sparkContext.defaultParallelism) // 2)
@@ -669,48 +938,61 @@ def _build_index_impl(
             )
             _refresh(serve_path)
             _mark_done(gdir, "postings_term")
-        _lap("postings_term")
+        stage_s["postings_term"] = round(_time2.time() - t0, 2)
 
-    # stage 3: term stats DERIVED FROM BLOCK METADATA — df = sum of block
-    # sizes per term, cf = sum of per-block tf sums; no posting bytes
-    # decoded, no second tokenize pass. Output sorted by term for parquet
-    # min/max pruning at query time (the per-query "broadcast term
-    # statistics" lookup of the north rule).
-    if not (resume and _stage_done(gdir, "term_stats")):
-        stats_parts = max(4, spark.sparkContext.defaultParallelism // 2)
-        (
+    def _stats_stage() -> None:
+        # stage 3: term stats DERIVED FROM BLOCK METADATA — df = sum of
+        # block sizes per term, cf = sum of per-block tf sums; no posting
+        # bytes decoded, no second tokenize pass. Output sorted by term for
+        # parquet min/max pruning at query time (the per-query "broadcast
+        # term statistics" lookup of the north rule).
+        t0 = _time2.time()
+        if not (resume and _stage_done(gdir, "term_stats")):
+            stats_parts = max(4, spark.sparkContext.defaultParallelism // 2)
+            (
+                spark.read.parquet(postings_path)
+                .groupBy("term")
+                .agg(F.sum("n").alias("df"), F.sum("sum_tf").alias("cf"))
+                .repartitionByRange(stats_parts, "term")
+                .sortWithinPartitions("term")
+                .write.mode("overwrite")
+                .parquet(stats_path)
+            )
+            _refresh(stats_path)
+            _mark_done(gdir, "term_stats")
+        stage_s["term_stats"] = round(_time2.time() - t0, 2)
+
+    def _metrics_job() -> list:
+        # manifest metrics: ONE job over posting metadata; n_chunks is the
+        # exact count for dense doc ids — (max_doc // chunk_docs) + 1 — and
+        # a safe upper bound for sparse ids, which pushes the query planner
+        # to the two-phase plan
+        return (
             spark.read.parquet(postings_path)
-            .groupBy("term")
-            .agg(F.sum("n").alias("df"), F.sum("sum_tf").alias("cf"))
-            .repartitionByRange(stats_parts, "term")
-            .sortWithinPartitions("term")
-            .write.mode("overwrite")
-            .parquet(stats_path)
+            .groupBy("part_id")
+            .agg(
+                F.count("*").alias("n_blocks"),
+                F.sum("n").alias("n_postings"),
+                F.sum(
+                    F.octet_length("docs_bin")
+                    + F.octet_length("tfs_bin")
+                    + F.octet_length("dls_bin")
+                ).alias("encoded_bytes"),
+                F.max("last_doc").alias("max_doc"),
+                F.sum("sum_tf").alias("sum_tf"),
+            )
+            .collect()
         )
-        _refresh(stats_path)
-        _mark_done(gdir, "term_stats")
-    _lap("term_stats")
 
-    # manifest: config checksum + corpus stats + per-partition lineage/metrics
-    # (ONE job over posting metadata; n_chunks is the exact count for dense
-    # doc ids — (max_doc // chunk_docs) + 1 — and a safe upper bound for
-    # sparse ids, which pushes the query planner to the two-phase plan)
-    postings = spark.read.parquet(postings_path)
-    part_rows = (
-        postings.groupBy("part_id")
-        .agg(
-            F.count("*").alias("n_blocks"),
-            F.sum("n").alias("n_postings"),
-            F.sum(
-                F.octet_length("docs_bin")
-                + F.octet_length("tfs_bin")
-                + F.octet_length("dls_bin")
-            ).alias("encoded_bytes"),
-            F.max("last_doc").alias("max_doc"),
-            F.sum("sum_tf").alias("sum_tf"),
-        )
-        .collect()
-    )
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        serve_f = pool.submit(_serve_stage) if cfg.serve_layout else None
+        stats_f = pool.submit(_stats_stage)
+        part_rows = pool.submit(_metrics_job).result()
+        stats_f.result()
+        if serve_f is not None:
+            serve_f.result()
+    _lap("parallel_finish")
+
     part_metrics = {
         str(r["part_id"]): {
             "n_blocks": int(r["n_blocks"]),
@@ -725,7 +1007,9 @@ def _build_index_impl(
     # exactly one tf unit (field-prefixing renames, never splits, tokens)
     total_tokens = sum(int(r["sum_tf"]) for r in part_rows)
     avgdl = (total_tokens / n_docs) if n_docs else 0.0
-    n_terms = spark.read.parquet(stats_path).count()
+    n_terms = _parquet_rows(stats_path)
+    if n_terms is None:
+        n_terms = spark.read.parquet(stats_path).count()
     gen_manifest = {
         "generation": generation,
         # identity nonce for THIS build of this generation: readers that

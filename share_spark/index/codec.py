@@ -86,6 +86,46 @@ def delta_encode_blocks(
     return varint_encode_blocks(gaps, block_starts, block_ends)
 
 
+def varint_encode_offsets(
+    values: np.ndarray, block_starts: np.ndarray, block_ends: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Grouped LEB128 encode returning (uint8 buffer, int64 byte offsets of
+    each block boundary, len(block_starts)+1 entries). The Arrow-native twin
+    of varint_encode_blocks: callers wrap (buffer, offsets) into a binary
+    array without creating one Python bytes object per block. REQUIRES the
+    blocks to tile the input (block_ends[i] == block_starts[i+1]) — the
+    posting-block encoder's layout."""
+    out, nbytes = varint_encode_raw(values)
+    offs = np.zeros(len(values) + 1, dtype=np.int64)
+    np.cumsum(nbytes, out=offs[1:])
+    bounds = np.empty(len(block_starts) + 1, dtype=np.int64)
+    bounds[:-1] = offs[block_starts]
+    bounds[-1] = offs[block_ends[-1]] if len(block_ends) else 0
+    return out, bounds
+
+
+def delta_encode_offsets(
+    doc_ids: np.ndarray, block_starts: np.ndarray, block_ends: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Offset-returning twin of delta_encode_blocks (same wire bytes)."""
+    ids = np.ascontiguousarray(doc_ids, dtype=np.uint64)
+    gaps = np.empty_like(ids)
+    if len(ids):
+        gaps[0] = ids[0]
+        np.subtract(ids[1:], ids[:-1], out=gaps[1:])
+    gaps[block_starts] = ids[block_starts]
+    return varint_encode_offsets(gaps, block_starts, block_ends)
+
+
+def varint_value_ends(data: np.ndarray) -> np.ndarray:
+    """Byte index just past each varint value in a raw LEB128 stream —
+    lets callers re-slice a concatenated varint buffer at value boundaries
+    without decoding (a varint run's bytes are position-independent)."""
+    if data.shape[0] == 0:
+        return np.empty(0, dtype=np.int64)
+    return np.nonzero((data & _CONT) == 0)[0] + 1
+
+
 def varint_decode(buf: bytes) -> np.ndarray:
     """Decode LEB128 bytes into a uint64 array (vectorized)."""
     data = np.frombuffer(buf, dtype=np.uint8)
