@@ -48,49 +48,50 @@ def _tokens(docs: DataFrame) -> DataFrame:
 
 def _inline_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact BM25 top-k as one declarative DataFrame plan over raw documents
-    (the oracle-checkable twin of the posting-index path below)."""
+    (the oracle-checkable twin of the posting-index path below).
+
+    Plan shape: the old form exploded the full token stream and ran three
+    shuffled aggregations (dl, tf, df) plus two joins; this one computes
+    per-doc (dl, tf_t) in a SINGLE codegen projection over the token array
+    (no explode, no shuffle), folds corpus stats + per-term df into one
+    single-row aggregate that broadcasts back, and scores with the terms
+    added in sorted-term order — the exact fold order the previous
+    array_sort(collect_list) aggregation used, so scores are bit-identical
+    before the shared round(4)."""
     docs = _t(spark, sf_dir, "documents")
-    toks = _tokens(docs)
-    dls = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    corpus = dls.agg(
-        F.count("*").cast("double").alias("n"), F.avg("dl").alias("avgdl")
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != F.lit(""))
+    qt = sorted(BM25_TERMS)
+
+    def _tf(term: str):  # factory: F.filter lambdas must be unary
+        return F.size(F.filter(toks, lambda t: t == F.lit(term)))
+
+    base = docs.select(
+        "doc_id",
+        F.size(toks).alias("dl"),
+        *[_tf(term).alias(f"tf_{i}") for i, term in enumerate(qt)],
     )
-    qt = list(BM25_TERMS)
-    tf = (
-        toks.filter(F.col("term").isin(qt))
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
+    stats = base.agg(
+        F.count("*").cast("double").alias("n"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(qt))
+        ],
     )
-    dfs = (
-        toks.filter(F.col("term").isin(qt))
-        .select("term", "doc_id")
-        .distinct()
-        .groupBy("term")
-        .agg(F.count("*").alias("df"))
-    )
-    scored = (
-        tf.join(F.broadcast(dfs), "term")
-        .join(dls, "doc_id")
-        .crossJoin(F.broadcast(corpus))
-        .withColumn(
-            "tscore",
-            F.log1p((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
-            * (F.col("tf") * (K1 + 1.0))
-            / (F.col("tf") + K1 * (1.0 - B + B * F.col("dl") / F.col("avgdl"))),
+    matched = base
+    for i in range(len(qt)):
+        matched = matched.filter(F.col(f"tf_{i}") > 0)
+    scored = matched.crossJoin(F.broadcast(stats))
+    score = F.lit(0.0)
+    for i in range(len(qt)):  # sorted-term fold order (deterministic)
+        tf = F.col(f"tf_{i}").cast("double")
+        df = F.col(f"df_{i}")
+        score = score + (
+            F.log1p((F.col("n") - df + 0.5) / (df + 0.5))
+            * (tf * (K1 + 1.0))
+            / (tf + K1 * (1.0 - B + B * F.col("dl") / F.col("avgdl")))
         )
-        .groupBy("doc_id")
-        .agg(
-            # deterministic term-order fold (see query/bm25.py exact_topk)
-            F.aggregate(
-                F.array_sort(F.collect_list(F.struct("term", "tscore"))),
-                F.lit(0.0),
-                lambda acc, x: acc + x["tscore"],
-            ).alias("score"),
-            F.count("*").alias("nt"),
-        )
-        .filter(F.col("nt") == len(qt))
-        .select("doc_id", F.round("score", 4).alias("score"))
-    )
+    scored = scored.select("doc_id", F.round(score, 4).alias("score"))
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(BM25_K)
 
 
@@ -513,19 +514,21 @@ def _text_quality(spark, sf_dir):
     keeping all three operators under a driver-oracle row inside the
     runner's entry budget)."""
     docs = _t(spark, sf_dir, "documents")
-    tq = textops.text_quality(docs).select(
+    # one projection, no joins: all three operators are per-row expressions
+    # over the same text column, so the former tq ⋈ tc ⋈ li plan (two
+    # shuffle joins) collapses into a single codegen map stage
+    tq = textops.text_quality_cols("text")
+    tc = textops.token_count_cols("text")
+    li = textops.langid_cols("text")
+    return docs.select(
         "doc_id",
-        F.col("n_tokens").cast("long").alias("n_tokens"),
-        "mean_token_len",
-        "stopword_ratio",
+        tq["n_tokens"].cast("long").alias("n_tokens"),
+        tq["mean_token_len"].alias("mean_token_len"),
+        tq["stopword_ratio"].alias("stopword_ratio"),
+        tc["n_tokens_ws"].cast("long").alias("n_tokens_ws"),
+        tc["n_tokens_bpe"].cast("long").alias("n_tokens_bpe"),
+        li["lang_pred"].alias("lang_pred"),
     )
-    tc = textops.token_counts(docs).select(
-        "doc_id",
-        F.col("n_tokens_ws").cast("long").alias("n_tokens_ws"),
-        F.col("n_tokens_bpe").cast("long").alias("n_tokens_bpe"),
-    )
-    li = textops.langid(docs).select("doc_id", "lang_pred")
-    return tq.join(tc, "doc_id").join(li, "doc_id")
 
 
 def _pii_scrub(spark, sf_dir):

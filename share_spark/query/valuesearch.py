@@ -137,6 +137,13 @@ def value_counts(
             _VKEY,
             "left_semi",
         )
+    if value_meta is not None:
+        # the filtered pair set is referenced by BOTH the bucket aggregation
+        # and the sub-agg semi-join below; a lazy plan re-runs the whole
+        # filter/text subtree (several joins) per reference — materialize it
+        # once. Size is bounded by the card context's (doc, value) pairs,
+        # orders of magnitude below the corpus; distributed, not driver-side.
+        pairs = pairs.localCheckpoint()
     agg = (
         pairs.groupBy("value_iri")
         .agg(F.countDistinct("doc_id").alias("match_count"))
@@ -145,11 +152,18 @@ def value_counts(
     )
     if value_meta is None:
         return agg.select(F.col("value_iri").alias("iri_value"), "match_count")
+    # The surfaced page is referenced TWICE below (bucket semi-join + final
+    # join), and each lazy reference would re-run the FULL pairs aggregation
+    # — so materialize the ≤ offset+page+1 rows once, driver-side (the same
+    # bounded-collect pattern as wand_topk's top-k merge; never more rows
+    # than a results page).
+    spark = doc_values.sparkSession
+    agg_local = spark.createDataFrame(agg.collect(), agg.schema)
     # nested sub-aggs over the meta rows of the SURVIVING pairs only — the
     # per-bucket terms sub-aggs see the same filtered document set — and only
     # for the ≤ offset+k+1 SURFACED buckets (agg is tiny → broadcast semi)
     meta_rows = value_meta.join(pairs, _VKEY, "left_semi").join(
-        F.broadcast(agg.select("value_iri")), "value_iri", "left_semi"
+        F.broadcast(agg_local.select("value_iri")), "value_iri", "left_semi"
     )
     subs = meta_rows.groupBy("value_iri").agg(
         _subagg("iri_value", type_paths).alias("type_iris"),
@@ -159,7 +173,7 @@ def value_counts(
     )
     empty = F.array().cast("array<string>")
     return (
-        agg.join(subs, "value_iri", "left")
+        agg_local.join(subs, "value_iri", "left")
         .select(
             F.col("value_iri").alias("iri_value"),
             "match_count",

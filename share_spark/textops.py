@@ -296,6 +296,8 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     hash_fn: str = "md5",
     ngram: int = 1,
+    materialize: bool = True,
+    broadcast_threshold: int = 1_000_000,
 ) -> DataFrame:
     """MinHash + LSH candidate pairs: band the signature, bucket-join.
 
@@ -304,12 +306,35 @@ def minhash_lsh_pairs(
     quadratic blowup of jaccard_pairs never happens. Verify candidates with
     exact Jaccard on the candidate set (jaccard_verify) when a threshold
     guarantee is needed.
-    """
+
+    Execution shape: a DataFrame self-join recomputes its subtree for BOTH
+    sides (Spark reuses the exchange only when plans canonicalize equal,
+    which the banded aggregate does not), so with ``materialize=True``
+    (default) the band frame — a few dozen bytes per doc, tiny relative to
+    the corpus it sketches — is computed once via an eager localCheckpoint
+    and respread across the cluster (checkpoints coalesce under AQE, which
+    would otherwise serialize the quadratic pair generation onto one core).
+    When the materialized frame is under ``broadcast_threshold`` rows the
+    build side is broadcast (no join shuffle, and bucket skew spreads with
+    the stream side's partitioning instead of landing on one reducer);
+    above it, the shuffle join with AQE skew splitting stands. At 10^9+
+    docs pass ``materialize=False``: executor-memory checkpoints of a
+    corpus-sized frame trade fault tolerance for speed the wrong way
+    there, and the incremental path (streaming/corpus.py) persists band
+    keys properly instead."""
     banded = minhash_band_rows(
         docs, n_perm, band_size, text_col, hash_fn=hash_fn, ngram=ngram
     )
+    build = None
+    if materialize:
+        spark = docs.sparkSession
+        banded = banded.repartition(
+            spark.sparkContext.defaultParallelism
+        ).localCheckpoint()
+        if banded.count() <= broadcast_threshold:
+            build = F.broadcast(banded.alias("b"))
     a = banded.alias("a")
-    b = banded.alias("b")
+    b = build if build is not None else banded.alias("b")
     return (
         a.join(
             b,
@@ -359,11 +384,25 @@ def simhash(docs: DataFrame, bits: int = 32, text_col: str = "text") -> DataFram
     )
 
 
-def simhash_pairs(docs: DataFrame, bits: int = 32, max_hamming: int = 3) -> DataFrame:
+def simhash_pairs(
+    docs: DataFrame,
+    bits: int = 32,
+    max_hamming: int = 3,
+    materialize: bool = True,
+) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance. Scale path: block on
     bit-bands of the fingerprint (pigeonhole: distance <= k implies an exact
-    match on one of k+1 bands), join per band."""
+    match on one of k+1 bands), join per band.
+
+    ``materialize=True`` computes the per-doc fingerprint once (eager
+    localCheckpoint, respread) instead of letting the self-join recompute
+    the signature aggregation for both sides — same rationale and same
+    at-scale caveat as minhash_lsh_pairs."""
     sh = simhash(docs, bits)
+    if materialize:
+        sh = sh.repartition(
+            docs.sparkSession.sparkContext.defaultParallelism
+        ).localCheckpoint()
     n_bands = max_hamming + 1
     band_bits = bits // n_bands
     bands = sh.select(
@@ -397,9 +436,11 @@ def simhash_pairs(docs: DataFrame, bits: int = 32, max_hamming: int = 3) -> Data
     )
 
 
-def text_quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Quality scoring: token count, mean token length, stopword ratio, and a
-    boolean keep flag — the standard web-text quality gate shape."""
+def text_quality_cols(text_col: str = "text") -> dict[str, Column]:
+    """The quality-gate metrics as pure column expressions (one codegen
+    pass; callers compose them into a single projection — see
+    queries._text_quality, which fuses quality + token counts + langid
+    into one select instead of three joins)."""
     toks = F.filter(_tokens_col(text_col), lambda t: t != F.lit(""))
     n_tokens = F.size(toks)
     mean_len = F.aggregate(
@@ -408,11 +449,19 @@ def text_quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
     stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS_SMALL])
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
     stop_ratio = n_stop.cast("double") / F.greatest(n_tokens.cast("double"), F.lit(1.0))
+    return {
+        "n_tokens": n_tokens,
+        "mean_token_len": F.round(mean_len, 4),
+        "stopword_ratio": F.round(stop_ratio, 4),
+    }
+
+
+def text_quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality scoring: token count, mean token length, stopword ratio, and a
+    boolean keep flag — the standard web-text quality gate shape."""
+    cols = text_quality_cols(text_col)
     out = docs.select(
-        "doc_id",
-        n_tokens.alias("n_tokens"),
-        F.round(mean_len, 4).alias("mean_token_len"),
-        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        "doc_id", *[c.alias(name) for name, c in cols.items()]
     )
     return out.withColumn(
         "keep",
@@ -422,9 +471,8 @@ def text_quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def langid(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Marker-token language ID: score per language = count of marker tokens;
-    argmax with deterministic tie order (en > de > fr > es > und)."""
+def langid_cols(text_col: str = "text") -> dict[str, Column]:
+    """Language-ID scores + argmax prediction as column expressions."""
     toks = _tokens_col(text_col)
     scores = {}
     for lang, markers in LANG_MARKERS.items():
@@ -435,16 +483,22 @@ def langid(docs: DataFrame, text_col: str = "text") -> DataFrame:
     for lang in ("es", "fr", "de", "en"):  # reverse priority; later wins ties
         pred = F.when(scores[lang] >= F.greatest(best, F.lit(1)), F.lit(lang)).otherwise(pred)
         best = F.greatest(best, scores[lang])
+    out = {f"score_{lang}": scores[lang] for lang in LANG_MARKERS}
+    out["lang_pred"] = pred
+    return out
+
+
+def langid(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-token language ID: score per language = count of marker tokens;
+    argmax with deterministic tie order (en > de > fr > es > und)."""
+    cols = langid_cols(text_col)
     return docs.select(
-        "doc_id",
-        *[scores[lang].alias(f"score_{lang}") for lang in LANG_MARKERS],
-        pred.alias("lang_pred"),
+        "doc_id", *[c.alias(name) for name, c in cols.items()]
     )
 
 
-def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Token counting: whitespace tokens + a BPE-ish sub-token count
-    (alnum runs and single punctuation marks counted separately)."""
+def token_count_cols(text_col: str = "text") -> dict[str, Column]:
+    """Whitespace + BPE-ish token counts as column expressions."""
     ws = F.size(F.filter(_tokens_col(text_col), lambda t: t != F.lit("")))
     bpe_ish = F.size(
         F.filter(
@@ -452,10 +506,15 @@ def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
             lambda t: t != F.lit(""),
         )
     )
+    return {"n_tokens_ws": ws, "n_tokens_bpe": bpe_ish}
+
+
+def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish sub-token count
+    (alnum runs and single punctuation marks counted separately)."""
+    cols = token_count_cols(text_col)
     return docs.select(
-        "doc_id",
-        ws.alias("n_tokens_ws"),
-        bpe_ish.alias("n_tokens_bpe"),
+        "doc_id", *[c.alias(name) for name, c in cols.items()]
     )
 
 
