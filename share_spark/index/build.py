@@ -1218,22 +1218,41 @@ class IndexReader:
                 gens.append(json.load(f))
         return cls(spark, index_dir, manifest, gens, tombstone_dir=tomb_dir)
 
-    def _union(self, stage: str) -> DataFrame:
+    def _union(self, stage: str, interactive: bool = False) -> DataFrame:
         """Union across generations with a `gen` provenance column (the
-        segment id — tombstones are generation-scoped, Lucene-style)."""
-        if stage not in self._df_cache:
-            parts = []
-            for g in self.gen_manifests:
-                gen = g["generation"]
-                df = self.spark.read.parquet(
-                    os.path.join(self.index_dir, f"gen{gen}", stage)
-                ).withColumn("gen", F.lit(gen))
-                parts.append(df)
+        segment id — tombstones are generation-scoped, Lucene-style).
+
+        `interactive=True` creates the parquet relations under the
+        interactive SQL conf scope: file-scan SPLITS are decided when the
+        relation is created (not at action time), so a top-k's pruned
+        slice read must be born with the byte-sized split shape
+        (session.INTERACTIVE_SCAN_*) while batch consumers (compaction,
+        serve-layout copy) keep cluster-width scans from the default
+        variant. Cached separately per variant."""
+        key = (stage, interactive)
+        if key not in self._df_cache:
+            from contextlib import nullcontext
+
+            from ..session import interactive_sql_conf
+
+            ctx = (
+                interactive_sql_conf(self.spark)
+                if interactive
+                else nullcontext()
+            )
+            with ctx:
+                parts = []
+                for g in self.gen_manifests:
+                    gen = g["generation"]
+                    df = self.spark.read.parquet(
+                        os.path.join(self.index_dir, f"gen{gen}", stage)
+                    ).withColumn("gen", F.lit(gen))
+                    parts.append(df)
             out = parts[0]
             for df in parts[1:]:
                 out = out.unionByName(df)
-            self._df_cache[stage] = out
-        return self._df_cache[stage]
+            self._df_cache[key] = out
+        return self._df_cache[key]
 
     @property
     def k1(self) -> float:
@@ -1277,8 +1296,8 @@ class IndexReader:
             return 0.0
         return sum(g["avgdl"] * g["n_docs"] for g in self.gen_manifests) / n
 
-    def postings(self) -> DataFrame:
-        return self._union("postings")
+    def postings(self, interactive: bool = False) -> DataFrame:
+        return self._union("postings", interactive=interactive)
 
     def docs(self) -> DataFrame:
         return self._union("docs")
@@ -1289,6 +1308,42 @@ class IndexReader:
         if len(self.gen_manifests) == 1:
             return df
         return df.groupBy("term").agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+
+    def term_stats_local(self, terms) -> dict[str, int] | None:
+        """df per query term, summed across generations, read DRIVER-SIDE
+        via parquet row-group pruning — no Spark job. The per-query stats
+        slice is at most len(terms) rows, and the stats files are written
+        range-partitioned + term-sorted exactly so min/max statistics
+        prune this lookup (the serve tier reads them the same way).
+        Returns None when any generation's stats dir is not a local
+        directory — callers fall back to the distributed broadcast-join
+        plan, which works on any filesystem."""
+        terms = [t for t in terms]
+        if not terms:
+            return {}
+        try:
+            import pyarrow.parquet as pq
+
+            out: dict[str, int] = {}
+            for g in self.gen_manifests:
+                path = os.path.join(
+                    self.index_dir, f"gen{g['generation']}", "term_stats"
+                )
+                if not os.path.isdir(path):
+                    return None
+                tbl = pq.read_table(
+                    path,
+                    columns=["term", "df"],
+                    filters=[("term", "in", terms)],
+                )
+                for t, df_ in zip(
+                    tbl.column("term").to_pylist(),
+                    tbl.column("df").to_pylist(),
+                ):
+                    out[t] = out.get(t, 0) + int(df_)
+            return out
+        except Exception:
+            return None
 
     def tombstones(self) -> DataFrame | None:
         """(doc_id, before_gen): the doc is dead in every generation

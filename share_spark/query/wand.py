@@ -79,6 +79,19 @@ AUX_SCHEMA = "chunk long, doc_id long, before_gen long, kind string"
 RESULT_SCHEMA = "doc_id long, score double, rank int"
 
 
+def _local_result(spark, page) -> DataFrame:
+    """Local top-k page -> DataFrame as a true LocalRelation (Arrow/pandas
+    path). createDataFrame over a plain Python list parallelizes into an
+    RDD-backed frame whose every downstream action launches a real job
+    (~0.3 s of scheduler overhead per query for 13 rows); the pandas path
+    embeds the rows in the plan."""
+    pdf = pd.DataFrame(page, columns=["doc_id", "score", "rank"])
+    pdf = pdf.astype(
+        {"doc_id": "int64", "score": "float64", "rank": "int32"}
+    )
+    return spark.createDataFrame(pdf, schema=RESULT_SCHEMA)
+
+
 def _member(sorted_arr: np.ndarray, vals: np.ndarray) -> np.ndarray:
     """Membership of vals in a sorted array, vectorized."""
     if sorted_arr.size == 0:
@@ -635,29 +648,46 @@ def wand_topk(
     n = index.n_docs
     k1, b, avgdl = index.k1, index.b, index.avgdl
 
-    # per-query stats slice, idf in-plan; broadcast to the block join
-    stats = (
-        index.term_stats()
-        .filter(F.col("term").isin(list(pos_terms)))
-        .select(
-            "term",
-            F.log1p(
-                (F.lit(float(n)) - F.col("df") + F.lit(0.5))
-                / (F.col("df") + F.lit(0.5))
-            ).alias("idf"),
-        )
-    )
     cols = ["term", "chunk", "first_doc", "n", "docs_bin", "tfs_bin",
             "dls_bin", "max_tf", "min_dl", "gen"]
     if has_phrases:
         cols.append("pos_bin")  # positions read only when a phrase needs them
-    blocks = (
-        index.postings()
-        .filter(F.col("term").isin(all_terms))
-        .select(*cols)
-        .join(F.broadcast(stats), "term", "left")
-        .withColumn("bound_imp", impact_bound_col(k1, b, avgdl))
-    )
+    blocks = index.postings(interactive=True).filter(F.col("term").isin(all_terms)).select(*cols)
+
+    # per-query stats slice, idf in-plan. Fast path: resolve df per term
+    # DRIVER-SIDE from the term-sorted stats parquet (row-group pruned, no
+    # Spark job) and embed idf as a literal when-chain — the log1p still
+    # evaluates in the JVM on the same inputs, so values are bit-identical
+    # to the broadcast-join plan, which remains the fallback for non-local
+    # filesystems. Saves one job + a broadcast exchange per query.
+    stats_local = index.term_stats_local(pos_terms)
+    if stats_local is not None:
+        idf_col = F.lit(None).cast("double")
+        for t in pos_terms:
+            if t in stats_local:
+                dfv = F.lit(stats_local[t]).cast("double")
+                idf_col = F.when(
+                    F.col("term") == t,
+                    F.log1p(
+                        (F.lit(float(n)) - dfv + F.lit(0.5))
+                        / (dfv + F.lit(0.5))
+                    ),
+                ).otherwise(idf_col)
+        blocks = blocks.withColumn("idf", idf_col)
+    else:
+        stats = (
+            index.term_stats()
+            .filter(F.col("term").isin(list(pos_terms)))
+            .select(
+                "term",
+                F.log1p(
+                    (F.lit(float(n)) - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                ).alias("idf"),
+            )
+        )
+        blocks = blocks.join(F.broadcast(stats), "term", "left")
+    blocks = blocks.withColumn("bound_imp", impact_bound_col(k1, b, avgdl))
     if not has_phrases:
         blocks = blocks.withColumn("pos_bin", F.lit(None).cast("binary"))
 
@@ -727,7 +757,7 @@ def wand_topk(
             for i, (d, s) in enumerate(merged[:n_keep])
             if i + 1 > offset
         ]
-        return spark.createDataFrame(page, RESULT_SCHEMA)
+        return _local_result(spark, page)
 
     # job 1 (metadata only): chunk upper bounds. Per BRANCH conjunctive:
     # a chunk qualifies for a branch when every branch term appears; the
@@ -784,7 +814,7 @@ def wand_topk(
             .collect()
         )
     if not top_bounds:
-        return spark.createDataFrame([], RESULT_SCHEMA)
+        return _local_result(spark, [])
     phase1_ids = [int(r["chunk"]) for r in top_bounds[:first_batch_chunks]]
     exhausted = len(top_bounds) <= first_batch_chunks
 
@@ -813,7 +843,7 @@ def wand_topk(
         for i, (d, s) in enumerate(merged[:n_keep])
         if i + 1 > offset
     ]
-    return spark.createDataFrame(page, RESULT_SCHEMA)
+    return _local_result(spark, page)
 
 
 MATCH_SCHEMA = T.StructType([T.StructField("doc_id", T.LongType())])
@@ -939,7 +969,7 @@ def match_docs(
     cols = ["term", "chunk", "first_doc", "n", "docs_bin", "tfs_bin", "gen"]
     if has_phrases:
         cols += ["dls_bin", "pos_bin"]  # read only when a phrase needs them
-    blocks = index.postings().filter(F.col("term").isin(all_terms)).select(*cols)
+    blocks = index.postings(interactive=True).filter(F.col("term").isin(all_terms)).select(*cols)
 
     aux = _aux_frames(index, filter_docs)
     n_buckets = max(

@@ -20,19 +20,35 @@ from pyspark.sql import SparkSession
 # docs; at 2M docs qps 2.2->3.4 for ~0.1 s of sequential p50.
 INTERACTIVE_SHUFFLE_PARTITIONS = 4
 
+# scan-split shape for interactive top-k jobs: a query reads a PRUNED slice
+# of the postings (its terms' blocks), so forcing the scan to cluster-width
+# parallelism (spark.sql.files.minPartitionNum defaults to the session's
+# default parallelism) just pays tens of task launches per query. Interactive
+# scans split by BYTES instead (large maxPartitionBytes, guide §6) with a
+# small data-independent parallelism floor — derived from the slice size,
+# not the core count, so the same values hold on a 4-core laptop and a
+# 1000-core cluster (env-overridable for deployments that want different
+# floors). Measured at 200k docs / local[32]: p50 0.49-0.72 s -> 0.33-0.51 s.
+INTERACTIVE_SCAN_MIN_SPLITS = os.environ.get(
+    "SPARK_GRAFT_INTERACTIVE_SCAN_MIN_SPLITS", "8"
+)
+INTERACTIVE_SCAN_MAX_PARTITION_BYTES = os.environ.get(
+    "SPARK_GRAFT_INTERACTIVE_SCAN_MAX_PARTITION_BYTES", "512m"
+)
+
 _CONF_LOCK = threading.Lock()
-# id(spark) -> {"q": depth, "b": depth, "aqe": saved, "sp": saved}
+# id(spark) -> {"q": depth, "b": depth, "aqe": saved, "sp": saved, ...}
 _CONF_STATE: dict[int, dict] = {}
 
 
 def _apply_conf(spark, st: dict) -> None:
     """Effective SQL conf under the priority rule: BATCH WORK WINS.
 
-    Interactive settings (AQE off, narrow reduces) apply only while
-    queries are in flight AND no batch job is — a concurrent build's
-    terabyte shuffles must never run with 4 reduce partitions and no AQE
-    skew handling just because a top-k overlapped it. When both are
-    active, or neither, the session's own values hold."""
+    Interactive settings (AQE off, narrow reduces, byte-sized scan splits)
+    apply only while queries are in flight AND no batch job is — a
+    concurrent build's terabyte shuffles must never run with 4 reduce
+    partitions and no AQE skew handling just because a top-k overlapped
+    it. When both are active, or neither, the session's own values hold."""
     interactive = st["q"] > 0 and st["b"] == 0
     spark.conf.set(
         "spark.sql.adaptive.enabled",
@@ -42,6 +58,22 @@ def _apply_conf(spark, st: dict) -> None:
         "spark.sql.shuffle.partitions",
         str(INTERACTIVE_SHUFFLE_PARTITIONS) if interactive else (st["sp"] or "200"),
     )
+    if interactive:
+        spark.conf.set(
+            "spark.sql.files.minPartitionNum", INTERACTIVE_SCAN_MIN_SPLITS
+        )
+        spark.conf.set(
+            "spark.sql.files.maxPartitionBytes",
+            INTERACTIVE_SCAN_MAX_PARTITION_BYTES,
+        )
+    else:
+        if st.get("mpn") is not None:
+            spark.conf.set("spark.sql.files.minPartitionNum", st["mpn"])
+        else:
+            spark.conf.unset("spark.sql.files.minPartitionNum")
+        spark.conf.set(
+            "spark.sql.files.maxPartitionBytes", st.get("mpb") or "128m"
+        )
 
 
 class _scoped_conf:
@@ -63,6 +95,12 @@ class _scoped_conf:
                 )
                 st["sp"] = self.spark.conf.get(
                     "spark.sql.shuffle.partitions", "200"
+                )
+                st["mpn"] = self.spark.conf.get(
+                    "spark.sql.files.minPartitionNum", None
+                )
+                st["mpb"] = self.spark.conf.get(
+                    "spark.sql.files.maxPartitionBytes", "128m"
                 )
             st[self._key] += 1
             _apply_conf(self.spark, st)

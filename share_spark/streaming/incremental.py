@@ -113,17 +113,16 @@ def apply_incremental(
         n_partitions=max(4, min(base_parts, batch_docs // 25_000 + 1)),
     )
 
-    gen_manifest = build_index(
-        spark, changed_pages, index_dir, cfg, generation=generation,
-        register=False,
-    )
+    # tombstones for replaced docs depend only on the OLD generations' docs
+    # and the batch's ids — independent of the new generation's build until
+    # the single commit below — so the merge runs CONCURRENTLY with the
+    # build (guide §2.6: overlap independent jobs; the tombstone version
+    # dir stays unreferenced and invisible until register_generation).
+    from concurrent.futures import ThreadPoolExecutor
 
-    # tombstone doc_ids that exist in OLDER generations: they die in every
-    # generation < this one (generation-scoped, so the new segment's copy of
-    # the doc stays live — Lucene per-segment deletes)
     older = [g for g in older_gens if g < generation]
-    tomb_version: object = _KEEP
-    if older:
+
+    def _tombstone_merge() -> str:
         old_ids = (
             spark.read.parquet(
                 *[os.path.join(index_dir, f"gen{g}", "docs") for g in older]
@@ -133,7 +132,22 @@ def apply_incremental(
             .distinct()
             .withColumn("before_gen", F.lit(generation))
         )
-        tomb_version = _merge_tombstones(spark, index_dir, old_ids)
+        return _merge_tombstones(spark, index_dir, old_ids)
+
+    tomb_version: object = _KEEP
+    if older:
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            tomb_f = pool.submit(_tombstone_merge)
+            gen_manifest = build_index(
+                spark, changed_pages, index_dir, cfg, generation=generation,
+                register=False,
+            )
+            tomb_version = tomb_f.result()
+    else:
+        gen_manifest = build_index(
+            spark, changed_pages, index_dir, cfg, generation=generation,
+            register=False,
+        )
     # ONE commit swings both the generation list and the tombstone-version
     # pointer (the batch is a single logical transaction); before it, the
     # new version dir is unreferenced and invisible to every reader
