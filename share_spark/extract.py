@@ -65,3 +65,31 @@ def extract_series(html_col: pd.Series, text_col: pd.Series) -> pd.Series:
         index=html_col.index,
         dtype="object",
     )
+
+
+# ASCII characters Python's `\s` (str mode) matches: str.isspace() is True
+# for exactly these below 0x80. The RE2 class must spell them out — RE2's
+# own \s is narrower (no \v, no FS..US) and would diverge from extract_text.
+_ASCII_WS_CLASS = "[ \\t\\n\\x0b\\f\\r\\x1c\\x1d\\x1e\\x1f]+"
+
+
+def extract_text_only_arrow(text_col: pd.Series):
+    """Vectorized fast path for the no-html case: byte-identical to
+    `extract_text(None, t)` when every input is ASCII (NFC is the identity
+    on ASCII; the explicit whitespace class above equals Python's `\\s`
+    there). Returns a list of strings, or None when any value is non-ASCII
+    (caller falls back to the frozen per-row extractor). Arrow's RE2
+    kernels process the whole batch in C — the docs stage's per-row Python
+    loop disappears for text-only ASCII corpora (WET-style input)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    try:
+        arr = pa.array(text_col.fillna("").astype(object), type=pa.string())
+    except (pa.ArrowInvalid, pa.ArrowTypeError):
+        return None
+    if not pc.all(pc.string_is_ascii(arr)).as_py():
+        return None
+    collapsed = pc.replace_substring_regex(arr, _ASCII_WS_CLASS, " ")
+    # after collapsing, any leading/trailing whitespace is a single space
+    return pc.utf8_trim(collapsed, " ").to_pylist()

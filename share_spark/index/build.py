@@ -221,13 +221,21 @@ def build_docs(
     has_path = "path_key" in cols
 
     def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..extract import extract_text_only_arrow
+
         for pdf in batches:
             html = pdf["html"] if has_html else pd.Series([None] * len(pdf))
             text = pdf["text"] if has_text else pd.Series([None] * len(pdf))
-            norm = [
-                extract_text(h, t)
-                for h, t in zip(html.tolist(), text.tolist())
-            ]
+            norm = None
+            if has_text and (not has_html or not html.notna().any()):
+                # text-only batch: vectorized Arrow normalization when all
+                # ASCII (byte-identical; None -> frozen per-row fallback)
+                norm = extract_text_only_arrow(text)
+            if norm is None:
+                norm = [
+                    extract_text(h, t)
+                    for h, t in zip(html.tolist(), text.tolist())
+                ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"] if has_docid else pd.NA,
