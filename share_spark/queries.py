@@ -2082,7 +2082,7 @@ ORACLES = {
                coalesce(n, 0) > 0 AS contaminated
         FROM documents d LEFT JOIN hits USING (doc_id)
     """,
-    "url_canonical": """
+    "url_canonical": r"""
         WITH u AS (
           SELECT doc_id,
             CASE doc_id % 4

@@ -248,15 +248,36 @@ def ivf_search(
 
 
 def all_pairs_above(
-    embeddings: DataFrame, threshold: float = 0.9, n_planes: int = 8
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    materialize: bool = True,
+    broadcast_threshold: int = 200_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: LSH bucket join + exact cosine
     verify >= threshold. The join is within-bucket only — the all-pairs
-    O(N^2) never materializes."""
+    O(N^2) never materializes.
+
+    ``materialize=True`` computes the hashed frame once (the self-join
+    would otherwise evaluate the signature subtree for both sides) and
+    respreads it (a checkpointed small frame coalesces to one partition
+    under AQE, serializing the within-bucket pair generation); under
+    ``broadcast_threshold`` rows the build side broadcasts — embedding
+    rows are wide (the vector rides along for the cosine), hence the
+    lower threshold than the minhash band join. Same at-scale opt-out
+    rationale as textops.minhash_lsh_pairs."""
     hashed = lsh_signature(embeddings, n_planes).select(
         "vec_id", "embedding", "lsh_bucket"
     )
-    a, b = hashed.alias("a"), hashed.alias("b")
+    build = None
+    if materialize:
+        hashed = hashed.repartition(
+            embeddings.sparkSession.sparkContext.defaultParallelism
+        ).localCheckpoint()
+        if hashed.count() <= broadcast_threshold:
+            build = F.broadcast(hashed.alias("b"))
+    a = hashed.alias("a")
+    b = build if build is not None else hashed.alias("b")
     pairs = a.join(
         b,
         (F.col("a.lsh_bucket") == F.col("b.lsh_bucket"))
