@@ -207,6 +207,60 @@ def _perm_hash_col(
     ).cast("long")
 
 
+def _md5_sig_partials(n_perm: int):
+    """mapInArrow kernel: (doc_id, token) batches -> per-batch-partial
+    (doc_id, mh0..mh{n-1}) minima, md5-hash form.
+
+    Bit-identical to the JVM expression chain
+    conv(substring(md5(concat(token, '#p')), 1, 15), 16, 10)::long —
+    int(md5(tok + b'#p').hexdigest()[:15], 16) is the same 60-bit value —
+    but each DISTINCT token in a batch is hashed once (dictionary-encode,
+    then an n_perm-wide gather): with a Zipf vocabulary that removes
+    ~97% of the md5 calls (guide §4.2; measured 1.6 s -> 0.5 s at 116k
+    token rows / 31-token vocab). Per-doc mins are folded per batch in C
+    (pandas groupby), so rows crossing back are n_docs-per-batch, not
+    n_tokens."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    cols = [f"mh{p}" for p in range(n_perm)]
+    schema = pa.schema(
+        [pa.field("doc_id", pa.int64())] + [pa.field(c, pa.int64()) for c in cols]
+    )
+    suffixes = [f"#{p}".encode() for p in range(n_perm)]
+
+    def fn(batches):
+        import pandas as pd
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            enc = batch.column("token").dictionary_encode()
+            if isinstance(enc, pa.ChunkedArray):
+                enc = enc.combine_chunks()
+            uniq = enc.dictionary.to_pylist()
+            hashes = np.empty((len(uniq), n_perm), dtype=np.int64)
+            for j, tok in enumerate(uniq):
+                tb = tok.encode("utf-8")
+                for p, suf in enumerate(suffixes):
+                    hashes[j, p] = int(
+                        hashlib.md5(tb + suf).hexdigest()[:15], 16
+                    )
+            codes = enc.indices.to_numpy(zero_copy_only=False)
+            pdf = pd.DataFrame(hashes[codes], columns=cols, copy=False)
+            pdf["doc_id"] = batch.column("doc_id").to_numpy(
+                zero_copy_only=False
+            )
+            part = pdf.groupby("doc_id", sort=False).min().reset_index()
+            yield pa.RecordBatch.from_pandas(
+                part[["doc_id"] + cols], schema=schema, preserve_index=False
+            )
+
+    return fn
+
+
 def minhash_signatures_wide(
     docs: DataFrame, n_perm: int = 16, text_col: str = "text",
     hash_fn: str = "md5", ngram: int = 1,
@@ -224,16 +278,34 @@ def minhash_signatures_wide(
     disjoint and collapse candidates to true near-dups.
 
     Scale shape: the old layout shuffled n_tokens * n_perm rows; this one
-    computes the n_perm hashes as expressions per token row (map-side) and
+    computes the n_perm hashes per token row BEFORE the shuffle and
     min-aggregates them in a single groupBy(doc_id) whose partial aggregation
     collapses each task's rows to one row per doc — shuffle bytes are
     n_docs * n_perm * 8, independent of document length.
+
+    Hashing placement by hash_fn: 'xxhash64' is one native JVM op per
+    token and stays a codegen expression; the 'md5' (oracle-pinned) form's
+    md5+conv chain is ~20x slower per call, so it runs in an Arrow batch
+    kernel that hashes each batch-distinct token ONCE and folds per-doc
+    minima in C before the shuffle (see _md5_sig_partials — values are
+    bit-identical to the expression form, pinned by
+    tests/test_textops.py::test_md5_signature_kernel_matches_expressions).
     """
     if ngram == 1:
         toks = token_set(docs, text_col)
     else:
         toks = ngram_rows(docs, ngram, text_col).withColumnRenamed(
             "ngram", "token"
+        )
+    if hash_fn == "md5":
+        mh_schema = ", ".join(
+            ["doc_id long"] + [f"mh{p} long" for p in range(n_perm)]
+        )
+        partials = toks.select("doc_id", "token").mapInArrow(
+            _md5_sig_partials(n_perm), schema=mh_schema
+        )
+        return partials.groupBy("doc_id").agg(
+            *[F.min(f"mh{p}").alias(f"mh{p}") for p in range(n_perm)]
         )
     return toks.groupBy("doc_id").agg(
         *[

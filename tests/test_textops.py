@@ -185,6 +185,49 @@ def test_minhash_xxhash64_variant_semantics(spark):
     assert by_id[0] == by_id[5] and by_id[0] != by_id[1]
 
 
+def test_md5_signature_kernel_matches_expressions(spark):
+    """The Arrow md5-signature kernel (_md5_sig_partials) is bit-identical
+    to the JVM expression chain it replaced, across unigram and shingle
+    spaces — including non-ASCII tokens (utf-8 md5 input) and tokens that
+    repeat across documents (per-batch dictionary dedup)."""
+    from share_spark.textops import (
+        _perm_hash_col, minhash_signatures_wide, ngram_rows, token_set,
+    )
+
+    rows = [
+        (1, "alpha beta gamma alpha"),
+        (2, "beta gamma delta"),
+        (3, "café naïve beta"),
+        (4, "x"),
+        (5, "alpha beta gamma alpha"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for ngram in (1, 3):
+        got = {
+            r["doc_id"]: tuple(r[f"mh{p}"] for p in range(8))
+            for r in minhash_signatures_wide(
+                docs, n_perm=8, hash_fn="md5", ngram=ngram
+            ).collect()
+        }
+        toks = (
+            token_set(docs)
+            if ngram == 1
+            else ngram_rows(docs, ngram).withColumnRenamed("ngram", "token")
+        )
+        want = {
+            r["doc_id"]: tuple(r[f"mh{p}"] for p in range(8))
+            for r in toks.groupBy("doc_id")
+            .agg(
+                *[
+                    F.min(_perm_hash_col(p, hash_fn="md5")).alias(f"mh{p}")
+                    for p in range(8)
+                ]
+            )
+            .collect()
+        }
+        assert got == want, f"ngram={ngram}"
+
+
 def test_winnow_fingerprints_guarantee(spark):
     """Winnowing guarantee (SWA 2003): any shared substring of length
     >= k + w - 1 yields at least one shared fingerprint; disjoint texts
