@@ -11,6 +11,7 @@ counts skew-safe; `collect_set` mirrors the nested label sub-aggs.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -152,37 +153,66 @@ def value_counts(
     )
     if value_meta is None:
         return agg.select(F.col("value_iri").alias("iri_value"), "match_count")
-    # The surfaced page is referenced TWICE below (bucket semi-join + final
-    # join), and each lazy reference would re-run the FULL pairs aggregation
-    # — so materialize the ≤ offset+page+1 rows once, driver-side (the same
-    # bounded-collect pattern as wand_topk's top-k merge; never more rows
-    # than a results page).
+    # The surfaced page is referenced TWICE below (bucket aggregation +
+    # final merge), and each lazy reference would re-run the FULL pairs
+    # aggregation — so materialize the ≤ offset+page+1 rows once,
+    # driver-side (the same bounded-collect pattern as wand_topk's top-k
+    # merge; never more rows than a results page). Both the page
+    # aggregation and the sub-agg job below run under the interactive conf
+    # scope: their inputs are the checkpointed pair frame and the ≤ page
+    # surfaced buckets' meta rows — result-page-bounded slices, not corpus
+    # scans — so a wide AQE reduce only adds fixed cost (the pair-set
+    # materialization above deliberately stays on the session's batch conf:
+    # its filter joins ARE corpus-sized at scale).
+    from ..session import interactive_sql_conf
+
     spark = doc_values.sparkSession
-    agg_local = spark.createDataFrame(agg.collect(), agg.schema)
-    # nested sub-aggs over the meta rows of the SURVIVING pairs only — the
-    # per-bucket terms sub-aggs see the same filtered document set — and only
-    # for the ≤ offset+k+1 SURFACED buckets (agg is tiny → broadcast semi)
-    meta_rows = value_meta.join(pairs, _VKEY, "left_semi").join(
-        F.broadcast(agg_local.select("value_iri")), "value_iri", "left_semi"
-    )
-    subs = meta_rows.groupBy("value_iri").agg(
-        _subagg("iri_value", type_paths).alias("type_iris"),
-        _subagg("text_value", name_paths).alias("name_texts"),
-        _subagg("text_value", title_paths).alias("title_texts"),
-        _subagg("text_value", label_paths).alias("label_texts"),
-    )
-    empty = F.array().cast("array<string>")
-    return (
-        agg_local.join(subs, "value_iri", "left")
-        .select(
-            F.col("value_iri").alias("iri_value"),
-            "match_count",
-            *(
-                F.coalesce(c, empty).alias(c)
-                for c in ("type_iris", "name_texts", "title_texts", "label_texts")
-            ),
+    with interactive_sql_conf(spark):
+        agg_rows = agg.collect()
+        surfaced = [r["value_iri"] for r in agg_rows]
+        # nested sub-aggs over the meta rows of the SURVIVING pairs only —
+        # the per-bucket terms sub-aggs see the same filtered document set —
+        # and only for the ≤ offset+k+1 SURFACED buckets. The page is a
+        # literal isin predicate (pushable into the meta scan) instead of
+        # the former broadcast semi-join — one join fewer per request.
+        subs = (
+            value_meta.filter(F.col("value_iri").isin(surfaced))
+            .join(pairs, _VKEY, "left_semi")
+            .groupBy("value_iri")
+            .agg(
+                _subagg("iri_value", type_paths).alias("type_iris"),
+                _subagg("text_value", name_paths).alias("name_texts"),
+                _subagg("text_value", title_paths).alias("title_texts"),
+                _subagg("text_value", label_paths).alias("label_texts"),
+            )
         )
-        .orderBy(F.desc("match_count"), F.asc("iri_value"))
+        sub_rows = {r["value_iri"]: r for r in subs.collect()} if surfaced else {}
+    # final merge + ordering driver-side over ≤ offset+page+1 rows; the
+    # result page embeds as a LocalRelation (no job on downstream actions)
+    page_rows = sorted(
+        agg_rows, key=lambda r: (-r["match_count"], r["value_iri"])
+    )
+    sub_cols = ("type_iris", "name_texts", "title_texts", "label_texts")
+    data = {
+        "iri_value": [r["value_iri"] for r in page_rows],
+        "match_count": pd.Series(
+            [r["match_count"] for r in page_rows], dtype="int64"
+        ),
+    }
+    for c in sub_cols:
+        data[c] = [
+            list(sub_rows[r["value_iri"]][c])
+            if r["value_iri"] in sub_rows
+            else []
+            for r in page_rows
+        ]
+    return spark.createDataFrame(
+        pd.DataFrame(data),
+        schema=(
+            "iri_value string, match_count long, type_iris array<string>, "
+            "name_texts array<string>, title_texts array<string>, "
+            "label_texts array<string>"
+        ),
     )
 
 
