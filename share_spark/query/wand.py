@@ -531,9 +531,10 @@ def _bucketed_kernel(chunk_kernel, empty: pd.DataFrame):
 
 
 def _with_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
-    return df.withColumn(
-        "_bucket", F.pmod(F.hash("chunk"), F.lit(n_buckets))
-    )
+    # one parsed expression instead of a pmod/hash/lit Column chain: the
+    # bucket column is added per interactive query, and every Column call
+    # is a driver py4j round-trip (see wand_topk's plan-chatter note)
+    return df.selectExpr("*", f"pmod(hash(chunk), {n_buckets}) AS _bucket")
 
 
 _EMPTY_SCORES = pd.DataFrame(
@@ -652,44 +653,90 @@ def wand_topk(
             "dls_bin", "max_tf", "min_dl", "gen"]
     if has_phrases:
         cols.append("pos_bin")  # positions read only when a phrase needs them
-    blocks = index.postings(interactive=True).filter(F.col("term").isin(all_terms)).select(*cols)
+    blocks = index.postings(interactive=True).filter(
+        F.col("term").isin(all_terms)
+    )
 
     # per-query stats slice, idf in-plan. Fast path: resolve df per term
     # DRIVER-SIDE from the term-sorted stats parquet (row-group pruned, no
-    # Spark job) and embed idf as a literal when-chain — the log1p still
-    # evaluates in the JVM on the same inputs, so values are bit-identical
-    # to the broadcast-join plan, which remains the fallback for non-local
-    # filesystems. Saves one job + a broadcast exchange per query.
+    # Spark job) and embed idf as literals — the log1p still evaluates in
+    # the JVM on the same inputs (constant-folded once at plan time), so
+    # values are bit-identical to the broadcast-join plan, which remains
+    # the fallback for non-local filesystems. Saves one job + a broadcast
+    # exchange per query.
+    #
+    # Plan-chatter note: the whole per-query projection (idf CASE,
+    # bound_imp, the null pos_bin) is ONE selectExpr of SQL strings — a
+    # single parse round-trip — instead of a Column chain whose every
+    # F.when/F.lit/withColumn is its own driver<->JVM py4j call (profiled
+    # at ~675 round-trips and ~0.2-0.3 s per interactive query). Doubles
+    # embed as CAST('<repr>' AS DOUBLE): repr round-trips exactly and the
+    # string cast parses via Double.parseDouble, so every literal is the
+    # same double the F.lit path shipped. Falls back to the Column chain
+    # for terms that would need escaping inside a SQL string literal.
     stats_local = index.term_stats_local(pos_terms)
-    if stats_local is not None:
-        idf_col = F.lit(None).cast("double")
-        for t in pos_terms:
-            if t in stats_local:
-                dfv = F.lit(stats_local[t]).cast("double")
-                idf_col = F.when(
-                    F.col("term") == t,
-                    F.log1p(
-                        (F.lit(float(n)) - dfv + F.lit(0.5))
-                        / (dfv + F.lit(0.5))
-                    ),
-                ).otherwise(idf_col)
-        blocks = blocks.withColumn("idf", idf_col)
-    else:
-        stats = (
-            index.term_stats()
-            .filter(F.col("term").isin(list(pos_terms)))
-            .select(
-                "term",
-                F.log1p(
-                    (F.lit(float(n)) - F.col("df") + F.lit(0.5))
-                    / (F.col("df") + F.lit(0.5))
-                ).alias("idf"),
-            )
+
+    def _d(v: float) -> str:
+        return f"CAST('{v!r}' AS DOUBLE)"
+
+    bound_sql = (
+        f"(CAST(max_tf AS DOUBLE) * {_d(k1 + 1.0)}) / "
+        f"(CAST(max_tf AS DOUBLE) + {_d(k1)} * ({_d(1.0 - b)} + {_d(b)} * "
+        f"CAST(min_dl AS DOUBLE) / {_d(avgdl)}))"
+    )
+    sql_safe = all(
+        "'" not in t and "\\" not in t and "\n" not in t for t in pos_terms
+    )
+    if stats_local is not None and sql_safe:
+        whens = [
+            f"WHEN term = '{t}' THEN log1p(({_d(float(n))} - "
+            f"{_d(float(stats_local[t]))} + {_d(0.5)}) / "
+            f"({_d(float(stats_local[t]))} + {_d(0.5)}))"
+            for t in pos_terms
+            if t in stats_local
+        ]
+        idf_sql = (
+            ("CASE " + " ".join(whens) + " ELSE CAST(NULL AS DOUBLE) END")
+            if whens
+            else "CAST(NULL AS DOUBLE)"
         )
-        blocks = blocks.join(F.broadcast(stats), "term", "left")
-    blocks = blocks.withColumn("bound_imp", impact_bound_col(k1, b, avgdl))
-    if not has_phrases:
-        blocks = blocks.withColumn("pos_bin", F.lit(None).cast("binary"))
+        blocks = blocks.selectExpr(
+            *cols,
+            *([] if has_phrases else ["CAST(NULL AS BINARY) AS pos_bin"]),
+            f"{idf_sql} AS idf",
+            f"{bound_sql} AS bound_imp",
+        )
+    else:
+        blocks = blocks.select(*cols)
+        if stats_local is not None:
+            idf_col = F.lit(None).cast("double")
+            for t in pos_terms:
+                if t in stats_local:
+                    dfv = F.lit(stats_local[t]).cast("double")
+                    idf_col = F.when(
+                        F.col("term") == t,
+                        F.log1p(
+                            (F.lit(float(n)) - dfv + F.lit(0.5))
+                            / (dfv + F.lit(0.5))
+                        ),
+                    ).otherwise(idf_col)
+            blocks = blocks.withColumn("idf", idf_col)
+        else:
+            stats = (
+                index.term_stats()
+                .filter(F.col("term").isin(list(pos_terms)))
+                .select(
+                    "term",
+                    F.log1p(
+                        (F.lit(float(n)) - F.col("df") + F.lit(0.5))
+                        / (F.col("df") + F.lit(0.5))
+                    ).alias("idf"),
+                )
+            )
+            blocks = blocks.join(F.broadcast(stats), "term", "left")
+        blocks = blocks.withColumn("bound_imp", impact_bound_col(k1, b, avgdl))
+        if not has_phrases:
+            blocks = blocks.withColumn("pos_bin", F.lit(None).cast("binary"))
 
     aux = _aux_frames(index, filter_docs)
     filter_active = filter_docs is not None
