@@ -257,27 +257,69 @@ def compact(
     old_gens = list(reader.manifest["generations"])
     docs = reader.live_docs()
     # tombstones normally leave exactly one live row per doc; belt and
-    # braces for crash windows between gen build and tombstone write
-    docs = docs.dropDuplicates(["doc_id"])
+    # braces for crash windows between gen build and tombstone write.
+    # Probe for duplicate ids on the PRUNED key column first (the groupBy
+    # projects doc_id only, so the shuffle moves 8-byte ids): the common
+    # no-dup case then skips dropDuplicates' full payload shuffle of the
+    # docs table — text bytes should cross the wire exactly once, into the
+    # new generation's docs files (guide §8's move-heavy-rows-once rule).
+    has_dups = not (
+        docs.groupBy("doc_id")
+        .count()
+        .filter(F.col("count") > 1)
+        .isEmpty()
+    )
+    if has_dups:
+        docs = docs.dropDuplicates(["doc_id"])
     doc_cols = [f.name for f in DOCS_SCHEMA]
 
-    pages = docs_df = termdoc_df = None
+    pages = docs_df = termdoc_df = postings_df = None
     if mode == "merge":
         docs_df = docs.select(*doc_cols)
-        termdoc_df = decode_termdoc(reader.postings(), reader.postings_codec)
-        tomb = reader.tombstones()
-        if tomb is not None:
-            # un-hinted like every tombstone join: AQE broadcasts small
-            # sets, shuffles unbounded ones
-            termdoc_df = (
-                termdoc_df.join(tomb, "doc_id", "left")
-                .filter(
-                    F.col("before_gen").isNull()
-                    | (F.col("gen") >= F.col("before_gen"))
-                )
-                .drop("before_gen")
+        # Preferred plan: BLOCK-LEVEL merge — shuffle the encoded blocks
+        # (~1x index bytes) and decode/drop-dead/re-encode inside the merge
+        # kernel, instead of shuffling every decoded posting (~10x; guide
+        # §2.3/§8). Requires the registered block/chunk/salt/codec geometry
+        # (block boundaries are baked into the key) and a tombstone set
+        # that fits driver-side arrays; otherwise the row-level
+        # decode->salted-shuffle->encode path below stands. Both feed the
+        # same encoder with the same rows in the same order, so the merged
+        # index is identical either way (pinned by the merge≡rebuild tests
+        # and test_merge_compact's block-vs-row identity case).
+        from ..index.build import local_tombstone_arrays, merge_generations_blocks
+
+        geometry_ok = (
+            cfg.block_size == registered.block_size
+            and cfg.chunk_docs == registered.chunk_docs
+            and cfg.salt_chunks == registered.salt_chunks
+            and cfg.postings_codec == registered.postings_codec
+        )
+        tomb_local = (
+            local_tombstone_arrays(index_dir, reader.tombstone_dir)
+            if geometry_ok
+            else None
+        )
+        if tomb_local is not None:
+            postings_df = merge_generations_blocks(
+                reader, cfg, tomb_local[0], tomb_local[1]
             )
-        termdoc_df = termdoc_df.drop("gen")
+        else:
+            termdoc_df = decode_termdoc(
+                reader.postings(), reader.postings_codec
+            )
+            tomb = reader.tombstones()
+            if tomb is not None:
+                # un-hinted like every tombstone join: AQE broadcasts small
+                # sets, shuffles unbounded ones
+                termdoc_df = (
+                    termdoc_df.join(tomb, "doc_id", "left")
+                    .filter(
+                        F.col("before_gen").isNull()
+                        | (F.col("gen") >= F.col("before_gen"))
+                    )
+                    .drop("before_gen")
+                )
+            termdoc_df = termdoc_df.drop("gen")
     else:
         # path_key rides along so a field-scoped index keeps its per-path
         # term namespaces through the re-tokenize
@@ -291,6 +333,7 @@ def compact(
         manifest = build_index(
             spark, pages, index_dir, cfg, generation=new_gen, register=False,
             assume_unique_ids=True, docs_df=docs_df, termdoc_df=termdoc_df,
+            postings_df=postings_df,
         )
         commit_manifest(
             index_dir,
@@ -312,6 +355,7 @@ def compact(
     manifest = build_index(
         spark, pages, new_dir, cfg, generation=0, register=False,
         assume_unique_ids=True, docs_df=docs_df, termdoc_df=termdoc_df,
+        postings_df=postings_df,
     )
     # carry the lineage log across the swap: history records remain
     # auditable even though their data files die with the old directory

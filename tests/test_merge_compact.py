@@ -204,3 +204,55 @@ def test_merge_pfor_codec_roundtrip(spark, tmp_path):
         assert _results(idx, q) == _results(
             IndexReader.open(spark, d2), q
         ), q
+
+
+def test_block_merge_identical_to_row_merge(spark, tmp_path, churned_index, monkeypatch):
+    """The block-level merge (shuffle encoded blocks, decode+drop+re-encode
+    in the kernel) produces BYTE-identical posting blocks to the row-level
+    merge (decode first, shuffle posting rows) — same rows, same order,
+    same encoder, per partition file."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    import share_spark.index.build as B
+
+    d_row = str(tmp_path / "rowidx")
+    shutil.copytree(churned_index, d_row)
+
+    # block path (default)
+    compact(spark, churned_index, mode="merge")
+    # force the row-level fallback on the copy
+    monkeypatch.setattr(B, "local_tombstone_arrays", lambda *a, **k: None)
+    compact(spark, d_row, mode="merge")
+
+    def _blocks(d):
+        rows = []
+        for f in sorted(glob.glob(os.path.join(d, "gen0", "postings", "*.parquet"))):
+            t = pq.read_table(f)
+            rows.extend(
+                sorted(
+                    zip(
+                        t.column("term").to_pylist(),
+                        t.column("chunk").to_pylist(),
+                        t.column("first_doc").to_pylist(),
+                        t.column("n").to_pylist(),
+                        t.column("docs_bin").to_pylist(),
+                        t.column("tfs_bin").to_pylist(),
+                        t.column("dls_bin").to_pylist(),
+                        t.column("pos_bin").to_pylist(),
+                        t.column("max_tf").to_pylist(),
+                        t.column("min_dl").to_pylist(),
+                        t.column("part_id").to_pylist(),
+                    )
+                )
+            )
+        return rows
+
+    a, b = _blocks(churned_index), _blocks(d_row)
+    assert len(a) == len(b) and a == b
+    # and the merged index still answers identically
+    ia, ib = IndexReader.open(spark, churned_index), IndexReader.open(spark, d_row)
+    for q in QUERIES:
+        assert _results(ia, q) == _results(ib, q), q
