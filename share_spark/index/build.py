@@ -775,7 +775,15 @@ def _make_block_merger(cfg: IndexConfig, tomb_bc):
 
     Measured at 200k docs / 2 gens / local[32]: the decode->shuffle->sort->
     encode chain's exchange step (3.5 s beyond decode) drops to a 0.3 s
-    block shuffle."""
+    block shuffle.
+
+    Future work: a (term, chunk) group holding a single generation and no
+    tombstoned doc (checkable from first_doc/last_doc + the broadcast ids
+    without decoding) could pass its blocks through verbatim with only
+    part_id restamped — the encoder would regenerate identical bytes from
+    identical rows, so the copy is exact (Lucene's untouched-segment
+    copy). Worth adding when compaction churn is concentrated rather than
+    uniform; the byte-identity test pins safety."""
     codec = get_codec(cfg.postings_codec)
     encode = _make_block_encoder(cfg)
     MIN_BLOCK_ROWS = 1 << 12
