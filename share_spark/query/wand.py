@@ -537,6 +537,33 @@ def _with_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
     return df.selectExpr("*", f"pmod(hash(chunk), {n_buckets}) AS _bucket")
 
 
+def _chunk_partitioned(df: DataFrame, runner, schema) -> DataFrame:
+    """Aux-free kernel execution: hash-repartition by chunk (all of a
+    chunk's blocks co-locate; reduce width comes from the runtime shuffle
+    conf, 4 under the interactive guard) and run the bucket runner once
+    per task via mapInArrow. This replaces groupBy("_bucket")
+    .applyInPandas for the no-tombstone/no-filter path: FlatMapGroupsInPandas
+    requires a Sort by the grouping key inside each task and pays per-group
+    conversion, while the runner already iterates chunks via a C-level
+    pandas groupby — so the sort and the grouping machinery bought nothing.
+    The task accumulates its batches before one groupby; the input is the
+    query's term-pruned block slice, so per-task volume is bounded by the
+    query, not the corpus. (The tombstone/filter path keeps the cogrouped
+    applyInPandas — cogroup alignment needs the grouped plan.)"""
+    import pyarrow as pa
+
+    def fn(batches):
+        tabs = [b for b in batches if b.num_rows]
+        if not tabs:
+            return
+        pdf = pa.Table.from_batches(tabs).to_pandas()
+        out = runner(pdf, None)
+        if len(out):
+            yield pa.RecordBatch.from_pandas(out, preserve_index=False)
+
+    return df.repartition(F.col("chunk")).mapInArrow(fn, schema=schema)
+
+
 _EMPTY_SCORES = pd.DataFrame(
     {
         "doc_id": pd.Series([], dtype="int64"),
@@ -748,7 +775,6 @@ def wand_topk(
         sel = blocks
         if chunk_ids_df is not None:
             sel = blocks.join(F.broadcast(chunk_ids_df), "chunk", "left_semi")
-        sel = _with_bucket(sel, n_buckets)
         scorer = _bucketed_kernel(
             _make_chunk_scorer(
                 branches, k1, b, avgdl, n_keep, tau, filter_active,
@@ -757,10 +783,9 @@ def wand_topk(
             _EMPTY_SCORES,
         )
         if aux is None:
-            scored = sel.groupBy("_bucket").applyInPandas(
-                lambda pdf: scorer(pdf, None), schema=CHUNK_SCORES_SCHEMA
-            )
+            scored = _chunk_partitioned(sel, scorer, CHUNK_SCORES_SCHEMA)
         else:
+            sel = _with_bucket(sel, n_buckets)
             aux_sel = aux
             if chunk_ids_df is not None:
                 aux_sel = aux.join(F.broadcast(chunk_ids_df), "chunk", "left_semi")
@@ -1028,13 +1053,10 @@ def match_docs(
         ),
         _EMPTY_MATCH,
     )
-    blocks = _with_bucket(blocks, n_buckets)
     if aux is None:
-        return blocks.groupBy("_bucket").applyInPandas(
-            lambda pdf: matcher(pdf, None), schema=MATCH_SCHEMA
-        )
+        return _chunk_partitioned(blocks, matcher, MATCH_SCHEMA)
     return (
-        blocks.groupBy("_bucket")
+        _with_bucket(blocks, n_buckets).groupBy("_bucket")
         .cogroup(_with_bucket(aux, n_buckets).groupBy("_bucket"))
         .applyInPandas(
             lambda left, right: matcher(left, right), schema=MATCH_SCHEMA
